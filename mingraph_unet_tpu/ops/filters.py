@@ -1,0 +1,229 @@
+"""Auxiliary feature-map filters: Sobel, histogram equalization, Gaussian blur.
+
+TPU-native equivalents of the reference's OpenCV wrappers:
+
+- ``EdgeDetector.sobel_edges``
+  (``preprocessing/graph_feature_processing/edge_detection.py:14-44``):
+  gray conversion, Sobel x/y, magnitude, min-max normalize to [0, 255].
+- ``HistogramEqualizer.equalize_histogram_rgb/_gray``
+  (``preprocessing/graph_feature_processing/histogram_equalization.py:9-49``):
+  RGB→YUV, equalize the Y channel with the cv2 CDF LUT, back to RGB.
+- ``GaussianSmoother.smooth``
+  (``preprocessing/graph_feature_processing/gaussian_smoothing.py:23-34``):
+  separable Gaussian with cv2's ``getGaussianKernel`` weights.
+
+All are expressed as fixed-weight (depthwise) convolutions and dense LUT
+matmuls so XLA can fuse them into the surrounding pipeline; borders use
+reflect-101 padding like OpenCV's default ``BORDER_REFLECT_101``.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mingraph_unet_tpu.ops.image import rgb_to_gray
+
+__all__ = [
+    "sobel_kernels",
+    "sobel_magnitude",
+    "equalize_histogram_gray",
+    "equalize_histogram_rgb",
+    "gaussian_kernel_1d",
+    "gaussian_blur",
+]
+
+
+# ---------------------------------------------------------------------------
+# Sobel
+# ---------------------------------------------------------------------------
+
+
+def sobel_kernels(ksize: int = 3) -> Tuple[np.ndarray, np.ndarray]:
+    """OpenCV-compatible Sobel derivative kernels (kx, ky) of size ``ksize``.
+
+    Built from the smoothing kernel [1, 2, 1] (and its box-convolutions for
+    larger sizes) outer-product with the difference kernel [-1, 0, 1],
+    matching ``cv2.getDerivKernels``.
+    """
+    if ksize % 2 == 0 or ksize < 3:
+        raise ValueError("ksize must be odd and >= 3")
+
+    def _deriv_kernels(order: int) -> np.ndarray:
+        # cv2.getDerivKernels builds Pascal-triangle smoothing convolved with
+        # repeated difference kernels.
+        smooth = np.array([1.0])
+        for _ in range(ksize - 1 - order):
+            smooth = np.convolve(smooth, [1.0, 1.0])
+        deriv = np.array([1.0])
+        for _ in range(order):
+            deriv = np.convolve(deriv, [1.0, -1.0])
+        k = np.convolve(smooth, deriv)
+        # cv2 derivative kernel sign convention: [-1, 0, 1] (increasing x).
+        return k[::-1].copy()
+
+    d = _deriv_kernels(1)  # 1st derivative, length ksize
+    s = _deriv_kernels(0)  # pure smoothing, length ksize
+    kx = np.outer(s, d)  # derivative along x (columns)
+    ky = np.outer(d, s)  # derivative along y (rows)
+    return kx, ky
+
+
+def _reflect101_pad2d(x: jnp.ndarray, pad: int) -> jnp.ndarray:
+    """Reflect-101 pad the two leading-of-last-three spatial dims of NHWC."""
+    cfg = [(0, 0)] * x.ndim
+    h_axis = x.ndim - 3
+    w_axis = x.ndim - 2
+    cfg[h_axis] = (pad, pad)
+    cfg[w_axis] = (pad, pad)
+    return jnp.pad(x, cfg, mode="reflect")
+
+
+def _depthwise_conv2d(x: jnp.ndarray, kernel: jnp.ndarray) -> jnp.ndarray:
+    """Depthwise 'valid' conv of NHWC ``x`` with a single HW ``kernel``."""
+    c = x.shape[-1]
+    kh, kw = kernel.shape
+    k = jnp.broadcast_to(kernel[:, :, None, None], (kh, kw, 1, c)).astype(x.dtype)
+    return jax.lax.conv_general_dilated(
+        x,
+        k,
+        window_strides=(1, 1),
+        padding="VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        feature_group_count=c,
+    )
+
+
+def sobel_magnitude(rgb: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
+    """Sobel edge magnitude of an RGB image, normalized to [0, 255].
+
+    ``rgb`` is HWC or NHWC in [0, 255] (float or uint8). Returns float32 HW /
+    NHW. Matches ``EdgeDetector.sobel_edges``: gray conversion, CV_64F Sobel
+    x/y, ``sqrt(gx² + gy²)``, then cv2 ``NORM_MINMAX`` scaling to [0, 255]
+    (``edge_detection.py:14-44``).
+    """
+    squeeze_batch = rgb.ndim == 3
+    if squeeze_batch:
+        rgb = rgb[None]
+    gray = rgb_to_gray(rgb.astype(jnp.float32))[..., None]  # N,H,W,1
+    kx, ky = sobel_kernels(ksize)
+    pad = ksize // 2
+    gray_p = _reflect101_pad2d(gray, pad)
+    gx = _depthwise_conv2d(gray_p, jnp.asarray(kx, jnp.float32))
+    gy = _depthwise_conv2d(gray_p, jnp.asarray(ky, jnp.float32))
+    mag = jnp.sqrt(gx * gx + gy * gy)[..., 0]  # N,H,W
+    # cv2.normalize(..., 0, 255, NORM_MINMAX) per image.
+    mn = jnp.min(mag, axis=(-2, -1), keepdims=True)
+    mx = jnp.max(mag, axis=(-2, -1), keepdims=True)
+    out = (mag - mn) / jnp.maximum(mx - mn, 1e-12) * 255.0
+    return out[0] if squeeze_batch else out
+
+
+# ---------------------------------------------------------------------------
+# Histogram equalization
+# ---------------------------------------------------------------------------
+
+
+def _equalize_channel_u8(chan: jnp.ndarray) -> jnp.ndarray:
+    """cv2.equalizeHist semantics on one uint8 channel (HW int array).
+
+    LUT: ``round((cdf(v) - cdf_min) / (total - cdf_min) * 255)`` with
+    ``cdf_min`` the CDF at the first occupied bin.
+    """
+    flat = chan.reshape(-1).astype(jnp.int32)
+    hist = jnp.zeros((256,), jnp.int32).at[flat].add(1)
+    cdf = jnp.cumsum(hist)
+    total = flat.shape[0]
+    # cdf value at first nonzero bin == smallest nonzero cdf entry.
+    cdf_min = jnp.min(jnp.where(hist > 0, cdf, total + 1))
+    denom = jnp.maximum(total - cdf_min, 1)
+    lut = jnp.round((cdf - cdf_min).astype(jnp.float32) / denom * 255.0)
+    lut = jnp.clip(lut, 0, 255).astype(jnp.int32)
+    return lut[flat].reshape(chan.shape)
+
+
+def equalize_histogram_gray(gray_u8: jnp.ndarray) -> jnp.ndarray:
+    """Equalize a uint8 grayscale image (HW), cf.
+    ``histogram_equalization.py:35-49``."""
+    return _equalize_channel_u8(jnp.asarray(gray_u8)).astype(jnp.uint8)
+
+
+# OpenCV RGB↔YUV (analog, 8-bit offset 128) coefficients.
+_RGB2YUV = np.array(
+    [
+        [0.299, 0.587, 0.114],
+        [-0.14713, -0.28886, 0.436],
+        [0.615, -0.51499, -0.10001],
+    ]
+)
+_YUV2RGB = np.array(
+    [
+        [1.0, 0.0, 1.13983],
+        [1.0, -0.39465, -0.58060],
+        [1.0, 2.03211, 0.0],
+    ]
+)
+
+
+def equalize_histogram_rgb(rgb_u8: jnp.ndarray) -> jnp.ndarray:
+    """Equalize the luma of an RGB uint8 image (HWC) in YUV space.
+
+    Mirrors ``HistogramEqualizer.equalize_histogram_rgb``
+    (``histogram_equalization.py:9-33``): RGB→YUV, ``equalizeHist`` on Y,
+    YUV→RGB. Constant offsets (128) on U/V follow OpenCV's 8-bit convention.
+    """
+    rgb = jnp.asarray(rgb_u8).astype(jnp.float32)
+    m = jnp.asarray(_RGB2YUV, jnp.float32)
+    yuv = jnp.einsum("hwc,kc->hwk", rgb, m)
+    yuv = yuv.at[..., 1:].add(128.0)
+    y_u8 = jnp.clip(jnp.round(yuv[..., 0]), 0, 255).astype(jnp.int32)
+    y_eq = _equalize_channel_u8(y_u8).astype(jnp.float32)
+    yuv_eq = jnp.concatenate([y_eq[..., None], yuv[..., 1:]], axis=-1)
+    yuv_eq = yuv_eq.at[..., 1:].add(-128.0)
+    minv = jnp.asarray(_YUV2RGB, jnp.float32)
+    rgb_eq = jnp.einsum("hwk,ck->hwc", yuv_eq, minv)
+    return jnp.clip(jnp.round(rgb_eq), 0, 255).astype(jnp.uint8)
+
+
+# ---------------------------------------------------------------------------
+# Gaussian blur
+# ---------------------------------------------------------------------------
+
+
+def gaussian_kernel_1d(ksize: int, sigma: float) -> np.ndarray:
+    """cv2.getGaussianKernel weights (normalized)."""
+    if ksize % 2 == 0:
+        raise ValueError("Gaussian kernel size must be odd")
+    if sigma <= 0:
+        sigma = 0.3 * ((ksize - 1) * 0.5 - 1) + 0.8  # cv2 default rule
+    xs = np.arange(ksize) - (ksize - 1) / 2.0
+    k = np.exp(-(xs**2) / (2.0 * sigma**2))
+    return k / k.sum()
+
+
+def gaussian_blur(img: jnp.ndarray, ksize: Tuple[int, int] = (5, 5), sigma: float = 1.0) -> jnp.ndarray:
+    """Separable Gaussian blur of an HWC / NHWC image
+    (``gaussian_smoothing.py:23-34``)."""
+    squeeze_batch = img.ndim == 3
+    if squeeze_batch:
+        img = img[None]
+    kh = jnp.asarray(gaussian_kernel_1d(ksize[1], sigma), jnp.float32)  # cv2 (w, h) order
+    kv = jnp.asarray(gaussian_kernel_1d(ksize[0], sigma), jnp.float32)
+    orig_dtype = img.dtype
+    x = img.astype(jnp.float32)
+    pad_h = ksize[1] // 2
+    pad_w = ksize[0] // 2
+    cfg = [(0, 0), (pad_h, pad_h), (pad_w, pad_w), (0, 0)]
+    x = jnp.pad(x, cfg, mode="reflect")
+    x = _depthwise_conv2d(x, kv[:, None])
+    x = _depthwise_conv2d(x, kh[None, :])
+    if jnp.issubdtype(orig_dtype, jnp.integer):
+        x = jnp.clip(jnp.round(x), 0, 255).astype(orig_dtype)
+    if squeeze_batch:
+        x = x[0]
+    return x

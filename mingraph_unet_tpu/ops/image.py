@@ -1,0 +1,243 @@
+"""Core image transforms: resize, normalization, synced geometric augmentation.
+
+TPU-native equivalent of the reference ``ImagePreprocessor``
+(``preprocessing/image_preprocessing/image_preprocess.py:6-126``): the
+PIL/torchvision pipeline (BGR→RGB → PIL Resize → ToTensor → Normalize, with
+RandomHorizontalFlip + RandomRotation in training mode) becomes pure ``jnp``
+functions composable under ``jax.jit`` and ``vmap``.
+
+Design notes
+------------
+- Layout is NHWC (TPU-friendly); the reference uses NCHW.
+- Augmentations take explicit PRNG keys and are applied to image and mask with
+  the *same* key, fixing the reference's unsynced image/mask augmentation
+  (acknowledged at ``image_preprocess.py:151-154``).
+- Mask resize reproduces cv2 ``INTER_NEAREST`` source-index selection
+  (``sx = floor(dx * src/dst)``), as used at ``image_preprocess.py:117``.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "normalize",
+    "denormalize",
+    "resize_bilinear",
+    "resize_nearest",
+    "preprocess_image",
+    "preprocess_mask",
+    "random_horizontal_flip",
+    "random_rotation",
+    "augment_pair",
+    "rgb_to_gray",
+]
+
+IMAGENET_MEAN = (0.485, 0.456, 0.406)
+IMAGENET_STD = (0.229, 0.224, 0.225)
+
+
+def normalize(img: jnp.ndarray, mean: Sequence[float], std: Sequence[float]) -> jnp.ndarray:
+    """Channel-wise normalize an image in [0, 1], HWC or NHWC."""
+    mean_a = jnp.asarray(mean, dtype=img.dtype)
+    std_a = jnp.asarray(std, dtype=img.dtype)
+    return (img - mean_a) / std_a
+
+
+def denormalize(img: jnp.ndarray, mean: Sequence[float], std: Sequence[float]) -> jnp.ndarray:
+    """Invert :func:`normalize` (used to recover RGB for Sobel / hist-eq
+    auxiliary features, cf. ``scripts/graph_refinement.py:50-59``)."""
+    mean_a = jnp.asarray(mean, dtype=img.dtype)
+    std_a = jnp.asarray(std, dtype=img.dtype)
+    return img * std_a + mean_a
+
+
+def resize_bilinear(img: jnp.ndarray, size: Tuple[int, int], antialias: bool = True) -> jnp.ndarray:
+    """Bilinear resize of an HWC / NHWC float image to ``size=(H, W)``.
+
+    ``antialias=True`` approximates PIL's ``Resize`` used by the reference
+    pipeline; half-pixel centers == ``align_corners=False``.
+    """
+    spatial = img.shape[:-1] if img.ndim == 3 else img.shape[1:-1]
+    if tuple(spatial) == tuple(size):
+        return img
+    if img.ndim == 3:
+        shape = (size[0], size[1], img.shape[-1])
+    else:
+        shape = (img.shape[0], size[0], size[1], img.shape[-1])
+    return jax.image.resize(img, shape, method="linear", antialias=antialias)
+
+
+def resize_nearest(x: jnp.ndarray, size: Tuple[int, int]) -> jnp.ndarray:
+    """cv2 ``INTER_NEAREST``-compatible resize for label maps.
+
+    Works on HW, HWC, NHW or NHWC arrays; the last two spatial dims of the
+    (optionally channel-suffixed) array are resized. Source index selection is
+    ``sx = floor(dx * src_size / dst_size)``, matching OpenCV.
+    """
+    # Masks are HW or NHW (no channel dim); HWC would be ambiguous with NHW.
+    if x.ndim == 2:
+        h_axis, w_axis = 0, 1
+    elif x.ndim == 3:
+        h_axis, w_axis = 1, 2  # NHW
+    else:
+        raise ValueError("resize_nearest expects HW or NHW arrays")
+    src_h, src_w = x.shape[h_axis], x.shape[w_axis]
+    dst_h, dst_w = size
+    if (src_h, src_w) == (dst_h, dst_w):
+        return x
+    rows = jnp.minimum((jnp.arange(dst_h) * src_h) // dst_h, src_h - 1)
+    cols = jnp.minimum((jnp.arange(dst_w) * src_w) // dst_w, src_w - 1)
+    x = jnp.take(x, rows, axis=h_axis)
+    x = jnp.take(x, cols, axis=w_axis)
+    return x
+
+
+def preprocess_image(
+    img_u8: jnp.ndarray,
+    size: Tuple[int, int],
+    mean: Sequence[float] = IMAGENET_MEAN,
+    std: Sequence[float] = IMAGENET_STD,
+) -> jnp.ndarray:
+    """uint8 RGB HWC → normalized float32 HWC at ``size``.
+
+    Equivalent of the reference base transform chain ToPILImage → Resize →
+    ToTensor → Normalize (``image_preprocess.py:26-31``), minus the NCHW
+    permute (we stay NHWC).
+    """
+    img = img_u8.astype(jnp.float32) / 255.0
+    img = resize_bilinear(img, size)
+    return normalize(img, mean, std)
+
+
+def preprocess_mask(mask: jnp.ndarray, size: Tuple[int, int], num_classes: int) -> jnp.ndarray:
+    """Label-map HW (or NHW) → int32 at ``size`` clipped to [0, C-1]
+    (reference ``image_preprocess.py:87-126``)."""
+    mask = resize_nearest(mask, size)
+    return jnp.clip(mask.astype(jnp.int32), 0, num_classes - 1)
+
+
+# ---------------------------------------------------------------------------
+# Synced geometric augmentation
+# ---------------------------------------------------------------------------
+
+
+def random_horizontal_flip(
+    key: jax.Array, img: jnp.ndarray, mask: Optional[jnp.ndarray] = None, prob: float = 0.5
+):
+    """Random horizontal flip with one coin shared by image (HWC) and mask (HW)."""
+    do_flip = jax.random.bernoulli(key, prob)
+    img_out = jnp.where(do_flip, img[:, ::-1, :], img)
+    if mask is None:
+        return img_out
+    mask_out = jnp.where(do_flip, mask[:, ::-1], mask)
+    return img_out, mask_out
+
+
+def _rotation_grid(h: int, w: int, angle_rad: jnp.ndarray):
+    """Source sampling coordinates for a rotation about the image center."""
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    ys = jnp.arange(h, dtype=jnp.float32) - cy
+    xs = jnp.arange(w, dtype=jnp.float32) - cx
+    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
+    cos_a = jnp.cos(angle_rad)
+    sin_a = jnp.sin(angle_rad)
+    # Inverse rotation: output (y, x) samples input at R(-angle) @ (y, x).
+    src_y = cos_a * yy + sin_a * xx + cy
+    src_x = -sin_a * yy + cos_a * xx + cx
+    return src_y, src_x
+
+
+def _bilinear_sample(img: jnp.ndarray, src_y: jnp.ndarray, src_x: jnp.ndarray) -> jnp.ndarray:
+    """Bilinear sample HWC image at float coords, zero fill outside."""
+    h, w = img.shape[:2]
+    y0 = jnp.floor(src_y)
+    x0 = jnp.floor(src_x)
+    wy = (src_y - y0)[..., None]
+    wx = (src_x - x0)[..., None]
+    y0i = y0.astype(jnp.int32)
+    x0i = x0.astype(jnp.int32)
+
+    def gather(yi, xi):
+        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+        yc = jnp.clip(yi, 0, h - 1)
+        xc = jnp.clip(xi, 0, w - 1)
+        vals = img[yc, xc]
+        return jnp.where(valid[..., None], vals, 0.0)
+
+    v00 = gather(y0i, x0i)
+    v01 = gather(y0i, x0i + 1)
+    v10 = gather(y0i + 1, x0i)
+    v11 = gather(y0i + 1, x0i + 1)
+    top = v00 * (1 - wx) + v01 * wx
+    bot = v10 * (1 - wx) + v11 * wx
+    return top * (1 - wy) + bot * wy
+
+
+def _nearest_sample(mask: jnp.ndarray, src_y: jnp.ndarray, src_x: jnp.ndarray, fill: int = 0) -> jnp.ndarray:
+    """Nearest-neighbor sample an HW label map at float coords, ``fill`` outside."""
+    h, w = mask.shape[:2]
+    yi = jnp.round(src_y).astype(jnp.int32)
+    xi = jnp.round(src_x).astype(jnp.int32)
+    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
+    yc = jnp.clip(yi, 0, h - 1)
+    xc = jnp.clip(xi, 0, w - 1)
+    return jnp.where(valid, mask[yc, xc], fill)
+
+
+def random_rotation(
+    key: jax.Array,
+    img: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    degrees: float = 15.0,
+):
+    """Random rotation in [-degrees, +degrees] about the center.
+
+    Image (HWC) sampled bilinearly with zero fill; mask (HW) sampled
+    nearest-neighbor — both with the same angle. Equivalent of torchvision's
+    ``RandomRotation(degrees)`` (reference ``image_preprocess.py:47-48``) with
+    the mask kept geometrically consistent.
+    """
+    angle = jax.random.uniform(key, (), minval=-degrees, maxval=degrees) * jnp.pi / 180.0
+    h, w = img.shape[:2]
+    src_y, src_x = _rotation_grid(h, w, angle)
+    img_out = _bilinear_sample(img, src_y, src_x)
+    if mask is None:
+        return img_out
+    mask_out = _nearest_sample(mask, src_y, src_x)
+    return img_out, mask_out
+
+
+def augment_pair(
+    key: jax.Array,
+    img: jnp.ndarray,
+    mask: jnp.ndarray,
+    flip_prob: float = 0.5,
+    rotation_degrees: float = 15.0,
+):
+    """Synced flip + rotation for one (HWC image, HW mask) pair.
+
+    The training-mode augmentation chain of the reference
+    (``image_preprocess.py:42-51``), applied consistently to both tensors.
+    Rotation runs on the *unnormalized-or-normalized* image equally well since
+    fill is 0; callers that normalize first should accept 0-filled borders in
+    normalized space (the torchvision reference rotates pre-normalization with
+    0-filled borders in [0,1] space; pass the unnormalized image here and
+    normalize afterwards to match).
+    """
+    k_flip, k_rot = jax.random.split(key)
+    img, mask = random_horizontal_flip(k_flip, img, mask, flip_prob)
+    img, mask = random_rotation(k_rot, img, mask, rotation_degrees)
+    return img, mask
+
+
+_GRAY_WEIGHTS = (0.299, 0.587, 0.114)
+
+
+def rgb_to_gray(img: jnp.ndarray) -> jnp.ndarray:
+    """RGB→gray with OpenCV weights (…, H, W, 3) → (…, H, W)."""
+    w = jnp.asarray(_GRAY_WEIGHTS, dtype=img.dtype)
+    return jnp.tensordot(img, w, axes=[[-1], [0]])

@@ -1,0 +1,87 @@
+"""Patchify / unpatchify with pad-to-multiple, fully batched and shape-static.
+
+TPU-native equivalent of ``PatchGraphConstructor.image_to_patches``
+(``preprocessing/graph_construction/patch_graph_construction.py:15-47``): the
+double-``unfold`` becomes a reshape/transpose, vectorized over the batch, in
+NHWC layout. Padding semantics match the reference (zero pad on the
+bottom/right to the next multiple of ``patch_size``).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+
+__all__ = [
+    "pad_to_multiple",
+    "patch_grid_dims",
+    "patchify",
+    "unpatchify",
+    "patch_reduce_mean",
+    "broadcast_patch_to_pixels",
+]
+
+
+def patch_grid_dims(h: int, w: int, patch_size: int) -> Tuple[int, int]:
+    """(num_patches_h, num_patches_w) after pad-to-multiple."""
+    return (-(-h // patch_size), -(-w // patch_size))
+
+
+def pad_to_multiple(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """Zero-pad spatial dims of NHWC (or NHW) up to multiples of ``patch_size``
+    (bottom/right padding, like the reference's ``F.pad`` call at
+    ``patch_graph_construction.py:28-33``)."""
+    h_axis = 1
+    h, w = x.shape[h_axis], x.shape[h_axis + 1]
+    pad_h = (-h) % patch_size
+    pad_w = (-w) % patch_size
+    if pad_h == 0 and pad_w == 0:
+        return x
+    cfg = [(0, 0)] * x.ndim
+    cfg[h_axis] = (0, pad_h)
+    cfg[h_axis + 1] = (0, pad_w)
+    return jnp.pad(x, cfg)
+
+
+def patchify(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """NHWC → (N, nph, npw, P, P, C) non-overlapping patches.
+
+    Flattening the (nph, npw) axes row-major reproduces the reference's patch
+    ordering (`patches.view(-1, C, P, P)` after `permute(1, 2, 0, 3, 4)` at
+    ``patch_graph_construction.py:40-45``), so node index = r * npw + c.
+    """
+    x = pad_to_multiple(x, patch_size)
+    n, h, w, c = x.shape
+    nph, npw = h // patch_size, w // patch_size
+    x = x.reshape(n, nph, patch_size, npw, patch_size, c)
+    return x.transpose(0, 1, 3, 2, 4, 5)
+
+
+def unpatchify(patches: jnp.ndarray) -> jnp.ndarray:
+    """(N, nph, npw, P, P, C) → NHWC (inverse of :func:`patchify`)."""
+    n, nph, npw, p, _, c = patches.shape
+    x = patches.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, nph * p, npw * p, c)
+
+
+def patch_reduce_mean(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """Per-patch channel means: NHWC → (N, nph, npw, C).
+
+    The workhorse behind 'pooled U-Net / Sobel / hist-eq features per patch'
+    (intended recipe demonstrated at ``scripts/graph_refinement.py:76-111``).
+    Implemented as an average pool so XLA lowers it to a reduce-window.
+    """
+    p = patchify(x, patch_size)
+    return p.mean(axis=(3, 4))
+
+
+def broadcast_patch_to_pixels(patch_vals: jnp.ndarray, patch_size: int) -> jnp.ndarray:
+    """(N, nph, npw, C) → NHWC by nearest (block) upsampling.
+
+    Equivalent of the reference's `F.interpolate(..., mode='nearest')`
+    broadcast of patch-level graph embeddings back to the pixel grid
+    (``scripts/train_end_to_end.py:403-422``) for integer scale factors.
+    """
+    x = jnp.repeat(patch_vals, patch_size, axis=1)
+    return jnp.repeat(x, patch_size, axis=2)

@@ -1,0 +1,40 @@
+"""Test configuration: force CPU backend with 8 virtual devices.
+
+Multi-chip sharding paths are exercised on a virtual 8-device CPU mesh
+(the TPU-native substitute for distributed tests; SURVEY §4.4). Must run
+before the first ``import jax`` anywhere in the test session.
+"""
+
+import os
+import sys
+
+# NOTE: the environment force-sets JAX_PLATFORMS=axon (TPU tunnel) via
+# sitecustomize, so this must be an unconditional override, not setdefault.
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO_ROOT not in sys.path:
+    sys.path.insert(0, REPO_ROOT)
+
+REFERENCE_ROOT = "/root/reference/MinGraph-UNet"
+
+import pytest  # noqa: E402
+
+
+def has_reference() -> bool:
+    return os.path.isdir(REFERENCE_ROOT)
+
+
+requires_reference = pytest.mark.skipif(
+    not has_reference(), reason="PyTorch reference checkout not available"
+)
+
+
+@pytest.fixture(scope="session")
+def reference_path() -> str:
+    if REFERENCE_ROOT not in sys.path:
+        sys.path.insert(0, REFERENCE_ROOT)
+    return REFERENCE_ROOT
