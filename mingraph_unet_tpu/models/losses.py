@@ -1,0 +1,188 @@
+"""Loss functions: CE, soft-Dice, feature consistency, TV, elliptical shape.
+
+Functional (not Module-based — losses are pure math), batched and
+shape-static. Reference sources:
+
+- ``cross_entropy``: ``nn.CrossEntropyLoss`` usage
+  (``scripts/train_end_to_end.py:211, 277``).
+- ``dice_loss``: ``scripts/train_segmentation.py:29-40``.
+- ``feature_consistency_loss``: ``model/unet/feature_loss.py:5-125`` —
+  contrastive loss tying per-patch U-Net features to GAT features with
+  binary region labels ``y_p`` and margin ``m``.
+- ``total_variation_loss``: ``TVLoss`` at ``scripts/train_end_to_end.py:73-89``.
+- ``elliptical_shape_loss``: ``model/unet/shape_loss.py:6-180`` — per-object
+  Mahalanobis ellipse prior, re-expressed with masked reductions and a
+  closed-form 2×2 inverse so variable pixel sets never become dynamic shapes.
+- ``detection_losses``: L1 bbox + BCE confidence (implied-but-absent in the
+  reference, SURVEY §2.1 M13 note).
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+__all__ = [
+    "cross_entropy_loss",
+    "dice_loss",
+    "feature_consistency_loss",
+    "total_variation_loss",
+    "elliptical_shape_loss",
+    "elliptical_shape_loss_from_probs",
+    "detection_losses",
+]
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross-entropy. ``logits`` (..., C) NHWC-style with class
+    last, ``labels`` integer (...)."""
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    picked = jnp.take_along_axis(logp, labels[..., None], axis=-1)[..., 0]
+    return -picked.mean()
+
+
+def dice_loss(logits: jnp.ndarray, labels: jnp.ndarray, smooth: float = 1.0) -> jnp.ndarray:
+    """Soft Dice over classes: ``1 - mean_c[(2·I + s)/(U + s)]``.
+
+    ``logits`` (B, H, W, C); ``labels`` (B, H, W). Matches the reference
+    formula (softmax probs vs one-hot target, per-class sums over spatial
+    dims, mean over classes and batch; ``train_segmentation.py:29-40``).
+    """
+    probs = jax.nn.softmax(logits, axis=-1)
+    onehot = jax.nn.one_hot(labels, logits.shape[-1], dtype=probs.dtype)
+    intersection = (probs * onehot).sum(axis=(1, 2))  # (B, C)
+    union = probs.sum(axis=(1, 2)) + onehot.sum(axis=(1, 2))
+    dice = (2.0 * intersection + smooth) / (union + smooth)
+    return 1.0 - dice.mean()
+
+
+def feature_consistency_loss(
+    f_unet: jnp.ndarray,
+    f_graph: jnp.ndarray,
+    patch_labels: jnp.ndarray,
+    margin: float = 1.0,
+) -> jnp.ndarray:
+    """L_feature: ``Σ_p [y_p·d² + (1−y_p)·max(0, m−d)²]``, summed over
+    patches, mean over batch.
+
+    Args:
+        f_unet: (B, N, D) per-patch U-Net features.
+        f_graph: (B, N, D) per-patch graph (GAT) features.
+        patch_labels: (B, N) binary region indicator ``y_p``.
+        margin: hinge margin ``m``.
+
+    ``d = sqrt(‖f_u − f_g‖² + 1e-8)`` exactly as the reference
+    (``feature_loss.py:103-123``).
+    """
+    if f_unet.shape != f_graph.shape:
+        raise ValueError(f"f_unet {f_unet.shape} and f_graph {f_graph.shape} must match")
+    y = patch_labels.astype(f_unet.dtype)
+    dist_sq = jnp.sum((f_unet - f_graph) ** 2, axis=-1)  # (B, N)
+    dist = jnp.sqrt(dist_sq + 1e-8)
+    positive = y * dist_sq
+    hinge = jax.nn.relu(margin - dist)
+    negative = (1.0 - y) * hinge**2
+    return (positive + negative).sum(axis=-1).mean()
+
+
+def total_variation_loss(x: jnp.ndarray, weight: float = 1.0) -> jnp.ndarray:
+    """Anisotropic TV on NHWC maps: ``w·(Σ∂h²/count_h + Σ∂w²/count_w)/B``
+    (reference ``TVLoss.forward``, NCHW there)."""
+    b, h, w = x.shape[0], x.shape[1], x.shape[2]
+    count_h = (h - 1) * w
+    count_w = h * (w - 1)
+    h_tv = jnp.sum((x[:, 1:, :, :] - x[:, :-1, :, :]) ** 2)
+    w_tv = jnp.sum((x[:, :, 1:, :] - x[:, :, :-1, :]) ** 2)
+    return weight * (h_tv / count_h + w_tv / count_w) / b
+
+
+def _masked_shape_terms(
+    masks: jnp.ndarray, min_pixels: int, epsilon: float
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-object (loss, valid) for stacked instance masks (..., O, H, W)."""
+    m = masks.astype(jnp.float32)
+    h, w = m.shape[-2], m.shape[-1]
+    ys = jnp.arange(h, dtype=jnp.float32)[:, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, :]
+    n = m.sum(axis=(-2, -1))  # (..., O)
+    safe_n = jnp.maximum(n, 1.0)
+    cy = (m * ys).sum(axis=(-2, -1)) / safe_n
+    cx = (m * xs).sum(axis=(-2, -1)) / safe_n
+    dy = (ys - cy[..., None, None]) * m
+    dx = (xs - cx[..., None, None]) * m
+    # Sample covariance (denominator n-1, like torch.cov at shape_loss.py:130).
+    denom = jnp.maximum(n - 1.0, 1.0)
+    syy = (dy * dy).sum(axis=(-2, -1)) / denom
+    sxx = (dx * dx).sum(axis=(-2, -1)) / denom
+    sxy = (dy * dx).sum(axis=(-2, -1)) / denom
+    # Σ + εI, closed-form 2×2 inverse.
+    a = syy + epsilon
+    d = sxx + epsilon
+    b = sxy
+    det = a * d - b * b
+    safe_det = jnp.where(jnp.abs(det) > 1e-20, det, 1.0)
+    inv_a = d / safe_det
+    inv_d = a / safe_det
+    inv_b = -b / safe_det
+    # Mahalanobis term per pixel: p^T Σ⁻¹ p for centered p = (dy, dx).
+    maha = (
+        inv_a[..., None, None] * dy * dy
+        + 2.0 * inv_b[..., None, None] * dy * dx
+        + inv_d[..., None, None] * dx * dx
+    )
+    per_obj = ((maha - 1.0) ** 2 * m).sum(axis=(-2, -1)) / safe_n
+    valid = (n >= min_pixels) & (n >= 2)
+    return per_obj, valid
+
+
+def elliptical_shape_loss(
+    object_masks: jnp.ndarray, min_pixels: int = 10, epsilon: float = 1e-6
+) -> jnp.ndarray:
+    """L_shape: ``mean_over_objects[mean_px (p^T Σ⁻¹ p − 1)²]``.
+
+    Args:
+        object_masks: (B, O, H, W) stacked binary instance masks; all-zero
+        slots are ignored. Objects with fewer than ``min_pixels`` pixels are
+        skipped (reference ``shape_loss.py:95-100``); returns 0 when no valid
+        object exists (reference lines 148, 180).
+    """
+    per_obj, valid = _masked_shape_terms(object_masks, min_pixels, epsilon)
+    total = jnp.where(valid, per_obj, 0.0).sum()
+    count = valid.sum()
+    return jnp.where(count > 0, total / jnp.maximum(count, 1), 0.0)
+
+
+def elliptical_shape_loss_from_probs(
+    segmentation_probs: jnp.ndarray,
+    foreground_class: int = 1,
+    min_pixels: int = 10,
+    epsilon: float = 1e-6,
+) -> jnp.ndarray:
+    """Semantic-fallback path: argmax foreground blob as a single object
+    (reference ``shape_loss.py:59-148``). ``segmentation_probs`` (B, H, W, C).
+    """
+    if segmentation_probs.shape[-1] <= foreground_class:
+        return jnp.asarray(0.0, jnp.float32)
+    pred = jnp.argmax(segmentation_probs, axis=-1)
+    masks = (pred == foreground_class).astype(jnp.float32)[:, None, :, :]  # (B, 1, H, W)
+    return elliptical_shape_loss(masks, min_pixels, epsilon)
+
+
+def detection_losses(
+    pred_boxes: jnp.ndarray,
+    pred_conf: jnp.ndarray,
+    gt_boxes: jnp.ndarray,
+    gt_has_object: jnp.ndarray,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Single-box detection losses (L1 bbox on positive images + BCE
+    objectness). The reference wires the head but never trains it
+    (``train_end_to_end.py:450-456``); this completes that seam.
+    """
+    has = gt_has_object.astype(pred_boxes.dtype)
+    l1 = jnp.abs(pred_boxes - gt_boxes).sum(axis=-1)
+    bbox_loss = (l1 * has).sum() / jnp.maximum(has.sum(), 1.0)
+    conf = jnp.clip(pred_conf[..., 0], 1e-7, 1.0 - 1e-7)
+    bce = -(has * jnp.log(conf) + (1.0 - has) * jnp.log(1.0 - conf))
+    return bbox_loss, bce.mean()

@@ -1,0 +1,221 @@
+"""MinGraphUNet: the full batched pipeline (U-Net → patch graph → GAT →
+MinCut → region GAT → fusion → detection).
+
+This is the TPU-native flagship model, replacing the reference's per-image
+Python graph loop (``scripts/train_end_to_end.py:300-425``, "the scalability
+sin" per SURVEY §3.1) with one shape-static batched program:
+
+Stage 1  U-Net forward → logits, encoder skips, decoder features F_u
+         (``train_end_to_end.py:274``).
+Stage 2  Patch-node features — **de-stubbed**: the reference fills these with
+         ``torch.randn`` (line 326) and raises NotImplementedError in
+         ``get_patch_features_from_unet_encoder``
+         (``patch_graph_construction.py:104-136``); the intended recipe is
+         demonstrated in ``scripts/graph_refinement.py:76-111``: pooled U-Net
+         features ⊕ Sobel patch means ⊕ hist-eq patch means. Implemented here
+         as patch-pooling of encoder skip 0 (projected to the configured
+         width), plus Sobel/hist-eq channels computed in-graph from the
+         denormalized input. Aux channels are scaled to [0, 1] (divergence:
+         the reference demo concatenates raw [0, 255] means against ~unit
+         U-Net features, a scale mismatch we fix).
+Stage 3  Patch GAT over the 4-connected lattice (shift-based attention).
+Stage 4  MinCut: segment predictor + Ncut loss → (L_partition, soft S*),
+         hard labels by argmax (lines 348-356).
+Stage 5  Region pooling (segment-mean as one-hot matmul), fully-connected
+         K-region graph, region GAT (lines 368-384); K=1 degenerates to a
+         passthrough like the reference's no-edge fallback (lines 440-446).
+Stage 6  Region embeddings broadcast to pixels (nearest/block upsample,
+         lines 403-422) and fused with F_u[0] (lines 440-444).
+Stage 7  Detection head → bbox (B, 4), confidence (B, 1) (lines 450-453).
+
+Everything vectorizes over the batch; the lattice edge structure is implicit
+(no edge lists at runtime). All loss *inputs* that need ground truth are
+returned so trainers can assemble L_total; L_partition itself is computed
+in-graph.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Sequence, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from mingraph_unet_tpu.models.detection import DetectionHead
+from mingraph_unet_tpu.models.fusion import fuse_features
+from mingraph_unet_tpu.models.gat import DenseGAT, GATNetwork, fully_connected_adjacency
+from mingraph_unet_tpu.models.mincut import MinCutRefinement
+from mingraph_unet_tpu.models.unet import UNet
+from mingraph_unet_tpu.ops import filters
+from mingraph_unet_tpu.ops.image import denormalize
+from mingraph_unet_tpu.ops.patches import broadcast_patch_to_pixels, patch_reduce_mean
+from mingraph_unet_tpu.ops.segment import gather_rows, segment_mean
+
+__all__ = ["MinGraphUNet"]
+
+
+class MinGraphUNet(nn.Module):
+    # U-Net
+    num_classes: int = 2
+    init_features: int = 32
+    depth: int = 4
+    use_batchnorm: bool = True
+    # Graph construction
+    patch_size: int = 16
+    unet_patch_feature_dim: int = 16
+    sobel_kernel_size: int = 3
+    normalization_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    normalization_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # GAT
+    gat_hidden_dim: int = 128
+    gat_output_dim: int = 64
+    gat_num_heads: int = 4
+    gat_num_layers: int = 1
+    gat_dropout: float = 0.1
+    gat_alpha: float = 0.2
+    # MinCut
+    num_segments: int = 2
+    sigma_ncut: float = 1.0
+    # Detection
+    num_detection_classes: int = 1
+    fc_hidden_dim: int = 256
+    # Compute dtype (params stay fp32)
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        deterministic = not train
+        b, h, w, _ = images.shape
+        if h % self.patch_size or w % self.patch_size:
+            raise ValueError(
+                f"Input {h}x{w} must be a multiple of patch_size={self.patch_size} "
+                "(use ops.patches.pad_to_multiple upstream)."
+            )
+
+        # === Stage 1: U-Net ===
+        logits, skips, f_u = UNet(
+            num_classes=self.num_classes,
+            init_features=self.init_features,
+            depth=self.depth,
+            use_batchnorm=self.use_batchnorm,
+            dtype=self.dtype,
+            name="unet",
+        )(images, train=train)
+
+        # === Stage 2: initial patch-node features (real, not stubbed) ===
+        unet_patch = patch_reduce_mean(skips[0], self.patch_size)  # (B, nph, npw, F0)
+        unet_patch = nn.Dense(
+            self.unet_patch_feature_dim, dtype=self.dtype, name="patch_feature_proj"
+        )(unet_patch)
+        rgb255 = jnp.clip(
+            denormalize(images.astype(jnp.float32), self.normalization_mean, self.normalization_std),
+            0.0,
+            1.0,
+        ) * 255.0
+        sobel = filters.sobel_magnitude(rgb255, self.sobel_kernel_size)  # (B, H, W)
+        sobel_patch = patch_reduce_mean(sobel[..., None] / 255.0, self.patch_size)
+        histeq = jax.vmap(filters.equalize_histogram_rgb)(
+            jnp.clip(jnp.round(rgb255), 0, 255).astype(jnp.uint8)
+        ).astype(jnp.float32)
+        histeq_patch = patch_reduce_mean(histeq / 255.0, self.patch_size)
+        patch_feats = jnp.concatenate(
+            [unet_patch.astype(jnp.float32), sobel_patch, histeq_patch], axis=-1
+        )  # (B, nph, npw, F0p + 1 + 3)
+
+        # === Stage 3: patch GAT over the lattice ===
+        gat_feats = GATNetwork(
+            hidden_dim=self.gat_hidden_dim,
+            output_dim=self.gat_output_dim,
+            num_heads=self.gat_num_heads,
+            num_layers=self.gat_num_layers,
+            dropout_rate=self.gat_dropout,
+            alpha=self.gat_alpha,
+            backend="lattice",
+            dtype=self.dtype,
+            name="patch_gat",
+        )(patch_feats.astype(self.dtype), deterministic=deterministic)
+
+        # Adapter for L_feature: pooled decoder features → GAT width (the
+        # reference stubs this pair with randn, train_end_to_end.py:338).
+        f_unet_patches = nn.Dense(
+            self.gat_output_dim, dtype=self.dtype, name="feature_consistency_proj"
+        )(patch_reduce_mean(f_u[0], self.patch_size)).astype(jnp.float32)
+
+        # === Stage 4: MinCut partition ===
+        l_partition, soft_assign = MinCutRefinement(
+            num_segments=self.num_segments,
+            sigma_ncut=self.sigma_ncut,
+            backend="lattice",
+            predictor_hidden=self.gat_output_dim // 2,
+            predictor_use_gnn=True,
+            predictor_heads=max(1, self.gat_num_heads // 2),
+            dropout_rate=self.gat_dropout,
+            alpha=self.gat_alpha,
+            dtype=self.dtype,
+            name="mincut",
+        )(gat_feats, deterministic=deterministic)
+        hard_labels = jnp.argmax(soft_assign, axis=-1)  # (B, nph, npw)
+
+        # === Stage 5: region pooling + region GAT ===
+        nph, npw = gat_feats.shape[1], gat_feats.shape[2]
+        flat_feats = gat_feats.reshape(b, nph * npw, -1).astype(jnp.float32)
+        flat_labels = hard_labels.reshape(b, nph * npw)
+        region_feats, region_counts = segment_mean(flat_feats, flat_labels, self.num_segments)
+        if self.num_segments > 1:
+            region_adj = fully_connected_adjacency(self.num_segments)
+            region_embeds = GATNetwork(
+                hidden_dim=self.gat_hidden_dim,
+                output_dim=self.gat_output_dim,
+                num_heads=self.gat_num_heads,
+                num_layers=1,
+                dropout_rate=self.gat_dropout,
+                alpha=self.gat_alpha,
+                backend="dense",
+                dtype=self.dtype,
+                name="region_gat",
+            )(region_feats.astype(self.dtype), adj=region_adj, deterministic=deterministic)
+            region_embeds = region_embeds.astype(jnp.float32)
+        else:
+            region_embeds = region_feats
+
+        # Broadcast region embeddings → patches → pixels (nearest).
+        f_g_patch = gather_rows(region_embeds, flat_labels).reshape(b, nph, npw, -1)
+        f_g_pixel = broadcast_patch_to_pixels(f_g_patch, self.patch_size)  # (B, H, W, Dg)
+
+        # === Stage 6: fusion ===
+        fused = fuse_features([f_u[0].astype(jnp.float32)], f_g_pixel, target_spatial_size=(h, w))
+
+        # === Stage 7: detection ===
+        det = DetectionHead(
+            num_classes=self.num_detection_classes,
+            fc_hidden_dim=self.fc_hidden_dim,
+            dtype=self.dtype,
+            name="detection_head",
+        )(fused.astype(self.dtype), train=train)
+        if self.num_detection_classes > 1:
+            bboxes, confidence, class_scores = det
+        else:
+            bboxes, confidence = det
+            class_scores = None
+
+        out = {
+            "logits": logits,
+            "f_u": f_u,
+            "encoder_skips": skips,
+            "patch_feats": patch_feats,
+            "gat_feats": gat_feats.astype(jnp.float32),
+            "f_unet_patches": f_unet_patches,
+            "l_partition": l_partition,
+            "soft_assignments": soft_assign,
+            "hard_patch_labels": hard_labels,
+            "region_embeddings": region_embeds,
+            "region_counts": region_counts,
+            "f_g_pixel": f_g_pixel,
+            "fused": fused,
+            "pred_bboxes": bboxes,
+            "pred_confidence": confidence,
+        }
+        if class_scores is not None:
+            out["pred_class_scores"] = class_scores
+        return out

@@ -1,0 +1,100 @@
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mingraph_unet_tpu.models.pipeline import MinGraphUNet
+
+
+def tiny_model(**kw):
+    defaults = dict(
+        num_classes=2,
+        init_features=4,
+        depth=2,
+        patch_size=8,
+        unet_patch_feature_dim=6,
+        gat_hidden_dim=16,
+        gat_output_dim=8,
+        gat_num_heads=2,
+        num_segments=2,
+        fc_hidden_dim=32,
+    )
+    defaults.update(kw)
+    return MinGraphUNet(**defaults)
+
+
+@pytest.fixture(scope="module")
+def model_and_vars():
+    model = tiny_model()
+    x = jnp.asarray(np.random.default_rng(0).random((2, 32, 32, 3)), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    return model, variables, x
+
+
+class TestMinGraphUNet:
+    def test_output_contract(self, model_and_vars):
+        model, variables, x = model_and_vars
+        out = model.apply(variables, x)
+        b, h, w = 2, 32, 32
+        nph = npw = 32 // 8
+        assert out["logits"].shape == (b, h, w, 2)
+        assert out["patch_feats"].shape == (b, nph, npw, 6 + 1 + 3)
+        assert out["gat_feats"].shape == (b, nph, npw, 8)
+        assert out["f_unet_patches"].shape == (b, nph, npw, 8)
+        assert out["l_partition"].shape == (b,)
+        assert out["soft_assignments"].shape == (b, nph, npw, 2)
+        assert out["hard_patch_labels"].shape == (b, nph, npw)
+        assert out["region_embeddings"].shape == (b, 2, 8)
+        assert out["f_g_pixel"].shape == (b, h, w, 8)
+        assert out["fused"].shape == (b, h, w, 4 + 8)
+        assert out["pred_bboxes"].shape == (b, 4)
+        assert out["pred_confidence"].shape == (b, 1)
+
+    def test_soft_assignments_normalized(self, model_and_vars):
+        model, variables, x = model_and_vars
+        out = model.apply(variables, x)
+        np.testing.assert_allclose(
+            np.asarray(out["soft_assignments"].sum(-1)), 1.0, atol=1e-5
+        )
+        assert float(out["l_partition"].min()) >= 0.0
+
+    def test_f_g_pixel_blockwise(self, model_and_vars):
+        # Region embeddings broadcast per patch block: constant within a patch.
+        model, variables, x = model_and_vars
+        out = model.apply(variables, x)
+        fg = np.asarray(out["f_g_pixel"])
+        block = fg[0, 0:8, 0:8, :]
+        assert np.allclose(block, block[0, 0])
+
+    def test_jit_and_grad(self, model_and_vars):
+        model, variables, x = model_and_vars
+
+        @jax.jit
+        def loss_fn(params, batch_stats):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": batch_stats},
+                x,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": jax.random.key(0)},
+            )
+            return out["logits"].sum() + out["l_partition"].sum()
+
+        g = jax.grad(loss_fn)(variables["params"], variables["batch_stats"])
+        # Gradients flow into the U-Net and the GAT.
+        gnorm = jax.tree_util.tree_reduce(
+            lambda a, b: a + float(jnp.abs(b).sum()), g, 0.0
+        )
+        assert np.isfinite(gnorm) and gnorm > 0
+
+    def test_rejects_non_multiple_input(self):
+        model = tiny_model()
+        with pytest.raises(ValueError):
+            jax.eval_shape(model.init, jax.random.key(0), jnp.zeros((1, 33, 33, 3)))
+
+    def test_multiclass_detection(self):
+        model = tiny_model(num_detection_classes=3)
+        x = jnp.zeros((1, 32, 32, 3))
+        variables = jax.eval_shape(model.init, jax.random.key(0), x)
+        out = jax.eval_shape(model.apply, variables, x)
+        assert out["pred_class_scores"].shape == (1, 3)
