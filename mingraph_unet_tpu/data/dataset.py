@@ -1,0 +1,224 @@
+"""Dataset + input pipeline.
+
+Equivalent of ``utils/mango_dataset.py`` (reference ``MangoDataset``), split
+TPU-natively:
+
+- **Host side** (this module): sorted-glob image/mask pairing with
+  count-mismatch validation (``mango_dataset.py:29-40``), zero dummy masks
+  when the mask dir is absent (lines 38, 63-67), cv2 decode, and resize to the
+  target shape (image bilinear, mask nearest — ``image_preprocess.py``
+  semantics). Output is **uint8** HWC images + uint8 masks: the device
+  transfer stays 4× smaller than fp32.
+- **Device side**: normalization and PRNG-synced augmentation run inside the
+  jitted train step (:func:`device_preprocess_batch`), fused with the model
+  by XLA, fixing the reference's unsynced image/mask augmentation
+  (``image_preprocess.py:151-154``).
+
+Divergence: the reference's ``__getitem__`` swallows every exception and
+returns zero tensors (``mango_dataset.py:71-80``) — a silent-corruption
+hazard called out in SURVEY §5. Here decode errors raise by default
+(``strict=True``); pass ``strict=False`` for the reference behavior, which
+then *logs* the substitution instead of hiding it.
+
+A native C++ decode path (``native/``) can be enabled for throughput; the
+pure-cv2 path is the portable default.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+from typing import Iterator, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+try:  # cv2 is the default host decoder; PIL is the fallback.
+    import cv2
+
+    _HAS_CV2 = True
+except Exception:  # pragma: no cover
+    _HAS_CV2 = False
+
+__all__ = ["MangoDataset", "BatchLoader", "device_preprocess_batch", "load_image_rgb", "load_mask"]
+
+
+def load_image_rgb(path: str) -> np.ndarray:
+    """Decode an image file to RGB uint8 HWC."""
+    if _HAS_CV2:
+        img = cv2.imread(path, cv2.IMREAD_COLOR)
+        if img is None:
+            raise FileNotFoundError(f"Image not found or undecodable: {path}")
+        return cv2.cvtColor(img, cv2.COLOR_BGR2RGB)
+    from PIL import Image  # pragma: no cover
+
+    return np.asarray(Image.open(path).convert("RGB"))
+
+
+def load_mask(path: str) -> np.ndarray:
+    """Decode a label mask to uint8 HW."""
+    if _HAS_CV2:
+        mask = cv2.imread(path, cv2.IMREAD_GRAYSCALE)
+        if mask is None:
+            raise FileNotFoundError(f"Mask not found or undecodable: {path}")
+        return mask
+    from PIL import Image  # pragma: no cover
+
+    return np.asarray(Image.open(path).convert("L"))
+
+
+def _resize_image(img: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    if img.shape[:2] == tuple(hw):
+        return img
+    if _HAS_CV2:
+        return cv2.resize(img, (hw[1], hw[0]), interpolation=cv2.INTER_LINEAR)
+    from PIL import Image  # pragma: no cover
+
+    return np.asarray(Image.fromarray(img).resize((hw[1], hw[0])))
+
+
+def _resize_mask(mask: np.ndarray, hw: Tuple[int, int]) -> np.ndarray:
+    if mask.shape[:2] == tuple(hw):
+        return mask
+    if _HAS_CV2:
+        return cv2.resize(mask, (hw[1], hw[0]), interpolation=cv2.INTER_NEAREST)
+    rows = (np.arange(hw[0]) * mask.shape[0]) // hw[0]
+    cols = (np.arange(hw[1]) * mask.shape[1]) // hw[1]
+    return mask[rows][:, cols]
+
+
+class MangoDataset:
+    """Paired (image, mask) dataset with the reference's pairing rules."""
+
+    IMAGE_EXTS = ("*.png", "*.jpg", "*.jpeg")
+
+    def __init__(
+        self,
+        image_dir: str,
+        mask_dir: Optional[str] = None,
+        image_size: Tuple[int, int] = (128, 128),
+        num_classes: int = 2,
+        strict: bool = True,
+    ):
+        self.image_dir = image_dir
+        self.mask_dir = mask_dir
+        self.image_size = tuple(image_size)
+        self.num_classes = num_classes
+        self.strict = strict
+
+        self.image_paths: List[str] = sorted(
+            p for ext in self.IMAGE_EXTS for p in glob.glob(os.path.join(image_dir, ext))
+        )
+        if not self.image_paths:
+            raise FileNotFoundError(f"No images found in {image_dir!r}")
+
+        self.mask_paths: Optional[List[str]] = None
+        if mask_dir and os.path.isdir(mask_dir):
+            masks = sorted(
+                p for ext in self.IMAGE_EXTS for p in glob.glob(os.path.join(mask_dir, ext))
+            )
+            if masks:
+                if len(masks) != len(self.image_paths):
+                    # Reference validates count match (mango_dataset.py:32-40).
+                    raise ValueError(
+                        f"Image/mask count mismatch: {len(self.image_paths)} images vs "
+                        f"{len(masks)} masks ({image_dir!r} / {mask_dir!r})"
+                    )
+                self.mask_paths = masks
+        if self.mask_paths is None:
+            print(
+                f"[MangoDataset] No masks for {image_dir!r}; using zero dummy masks "
+                "(reference behavior, mango_dataset.py:63-67)."
+            )
+
+    def __len__(self) -> int:
+        return len(self.image_paths)
+
+    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
+        """Returns (uint8 HWC RGB image, int32 HW mask) at ``image_size``."""
+        try:
+            img = _resize_image(load_image_rgb(self.image_paths[idx]), self.image_size)
+            if self.mask_paths is not None:
+                mask = _resize_mask(load_mask(self.mask_paths[idx]), self.image_size)
+                mask = np.clip(mask, 0, self.num_classes - 1).astype(np.int32)
+            else:
+                mask = np.zeros(self.image_size, np.int32)
+            return img, mask
+        except Exception:
+            if self.strict:
+                raise
+            print(
+                f"[MangoDataset] WARNING: failed to load item {idx} "
+                f"({self.image_paths[idx]!r}); substituting zeros."
+            )
+            return (
+                np.zeros((*self.image_size, 3), np.uint8),
+                np.zeros(self.image_size, np.int32),
+            )
+
+
+class BatchLoader:
+    """Shuffling, dropping-last batch iterator over a :class:`MangoDataset`.
+
+    The DataLoader equivalent (``train_end_to_end.py:248``): yields stacked
+    numpy batches ready for a single host→device transfer. Epoch-seeded
+    shuffling is deterministic given ``seed``.
+    """
+
+    def __init__(
+        self,
+        dataset: MangoDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        drop_last: bool = True,
+        seed: int = 0,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.drop_last = drop_last
+        self.seed = seed
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def epoch(self, epoch_idx: int = 0) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        order = np.arange(len(self.dataset))
+        if self.shuffle:
+            np.random.default_rng(self.seed + epoch_idx).shuffle(order)
+        n_full = len(self.dataset) // self.batch_size
+        limit = n_full * self.batch_size if self.drop_last else len(self.dataset)
+        for start in range(0, limit, self.batch_size):
+            idxs = order[start : start + self.batch_size]
+            imgs, masks = zip(*(self.dataset[int(i)] for i in idxs))
+            yield np.stack(imgs), np.stack(masks)
+
+
+def device_preprocess_batch(
+    key,
+    images_u8,
+    masks,
+    mean: Sequence[float],
+    std: Sequence[float],
+    augment: bool = False,
+    flip_prob: float = 0.5,
+    rotation_degrees: float = 15.0,
+):
+    """On-device batch preprocessing: (optional synced augment) + normalize.
+
+    Designed to live inside the jitted train step. ``images_u8`` (B, H, W, 3)
+    uint8; ``masks`` (B, H, W) int. Returns float32 normalized images and the
+    (possibly augmented) masks.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.ops.image import augment_pair, normalize
+
+    imgs = images_u8.astype(jnp.float32) / 255.0
+    if augment:
+        keys = jax.random.split(key, imgs.shape[0])
+        imgs, masks = jax.vmap(
+            lambda k, i, m: augment_pair(k, i, m, flip_prob, rotation_degrees)
+        )(keys, imgs, masks)
+    return normalize(imgs, mean, std), masks

@@ -1,0 +1,58 @@
+"""Composite checkpoint save / resume via Orbax.
+
+Fills a capability gap called out in SURVEY §5: the reference saves a
+checkpoint dict for U-Net-only training (``train_segmentation.py:154-169``),
+has a print-only stub for the end-to-end model (``train_end_to_end.py:500-504``)
+and has **no resume logic anywhere**. Here one pytree
+``{params, batch_stats, opt_state, step, epoch}`` covering *all* modules is
+saved step-indexed and restored for exact resume.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["CheckpointManager"]
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 3, save_interval_steps: int = 1):
+        directory = os.path.abspath(directory)
+        os.makedirs(directory, exist_ok=True)
+        self.directory = directory
+        options = ocp.CheckpointManagerOptions(
+            max_to_keep=max_to_keep, save_interval_steps=save_interval_steps
+        )
+        self._mngr = ocp.CheckpointManager(directory, options=options)
+
+    @property
+    def latest_step(self) -> Optional[int]:
+        return self._mngr.latest_step()
+
+    def save(self, step: int, state: Dict[str, Any], force: bool = False) -> bool:
+        saved = self._mngr.save(step, args=ocp.args.StandardSave(state), force=force)
+        return bool(saved)
+
+    def restore_latest(self, abstract_state: Optional[Dict[str, Any]] = None) -> Optional[Dict[str, Any]]:
+        """Restore the newest checkpoint (None if the directory is empty).
+
+        ``abstract_state``: optional matching pytree of ``jax.ShapeDtypeStruct``
+        (e.g. from ``jax.eval_shape``) to restore with correct shardings/dtypes.
+        """
+        step = self._mngr.latest_step()
+        if step is None:
+            return None
+        if abstract_state is not None:
+            return self._mngr.restore(step, args=ocp.args.StandardRestore(abstract_state))
+        return self._mngr.restore(step)
+
+    def wait(self) -> None:
+        self._mngr.wait_until_finished()
+
+    def close(self) -> None:
+        self._mngr.wait_until_finished()
+        self._mngr.close()

@@ -1,0 +1,266 @@
+"""End-to-end MinGraph-UNet trainer (≡ ``scripts/train_end_to_end.py``).
+
+One jitted, fully-batched train step computes
+
+``L_total = L_CE + λ1·L_shape + λ2·L_feature + λ3·L_partition + λ4·L_smooth``
+
+(reference lines 472-476) over the :class:`MinGraphUNet` pipeline, with the
+reference's stubbed seams implemented for real:
+
+- **L_feature** gets real inputs: the pipeline's pooled-decoder projection vs
+  GAT patch features, with patch labels ``y_p`` pooled from the *ground-truth*
+  mask (fraction of foreground pixels > 0.5) — the reference uses
+  ``torch.randn`` features and random labels (lines 338-345).
+- **L_shape** is evaluated on the predicted foreground (semantic single-blob
+  path of ``shape_loss.py:59-148``). Note: as in the reference, the
+  Mahalanobis term depends only on the *coordinates* of hard-mask pixels, so
+  it carries no gradient — it acts as a monitored regularizer value exactly
+  like the reference's wiring (their trainer hard-codes it to 0, line 287; we
+  at least compute it).
+- **L_smooth** is TV on the foreground softmax probability of the initial
+  segmentation — the reference's stated intent (comment at line 459) instead
+  of its dummy constant-map application (line 462, which is identically 0).
+- **Detection** (optional, ``train_detection=True``): the head is trained
+  against a ground-truth union box + objectness derived from the mask — the
+  reference leaves detection untrained ("Detection losses would be calculated
+  here", line 456).
+
+Composite checkpointing covers every module's params + batch stats + opt
+state in one pytree, with resume (reference's save is a print stub,
+lines 500-504).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mingraph_unet_tpu.config import PipelineConfig
+from mingraph_unet_tpu.data.dataset import BatchLoader, MangoDataset, device_preprocess_batch
+from mingraph_unet_tpu.models import losses
+from mingraph_unet_tpu.models.pipeline import MinGraphUNet
+from mingraph_unet_tpu.ops.patches import patch_reduce_mean
+from mingraph_unet_tpu.parallel.mesh import make_mesh, shard_batch
+from mingraph_unet_tpu.train.checkpoint import CheckpointManager
+from mingraph_unet_tpu.train.common import TrainState, make_optimizer
+from mingraph_unet_tpu.utils.logging import MetricsLogger
+
+__all__ = ["build_mingraph_unet", "gt_union_box", "make_e2e_train_step", "train_end_to_end"]
+
+
+def build_mingraph_unet(cfg: PipelineConfig, dtype=None) -> MinGraphUNet:
+    m = cfg.model
+    return MinGraphUNet(
+        num_classes=m.unet.out_channels,
+        init_features=m.unet.init_features,
+        depth=m.unet.depth,
+        use_batchnorm=m.unet.use_batchnorm,
+        patch_size=m.graph_construction.patch_size,
+        unet_patch_feature_dim=m.graph_construction.unet_patch_feature_dim,
+        sobel_kernel_size=cfg.preprocessing.sobel_kernel_size,
+        normalization_mean=cfg.preprocessing.normalization_mean,
+        normalization_std=cfg.preprocessing.normalization_std,
+        gat_hidden_dim=m.gat.hidden_dim,
+        gat_output_dim=m.gat.output_dim,
+        gat_num_heads=m.gat.num_heads,
+        gat_num_layers=m.gat.num_layers,
+        gat_dropout=m.gat.dropout,
+        gat_alpha=m.gat.alpha,
+        num_segments=cfg.dataset.num_semantic_regions,
+        sigma_ncut=m.mincut.sigma_ncut,
+        num_detection_classes=cfg.dataset.num_detection_classes,
+        fc_hidden_dim=m.fusion_detection.fc_hidden_dim,
+        dtype=dtype if dtype is not None else (jnp.bfloat16 if cfg.training.bf16 else jnp.float32),
+    )
+
+
+def gt_union_box(masks: jnp.ndarray, foreground_class: int = 1) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-image normalized union bbox (cx, cy, w, h) of foreground pixels +
+    has-object flag. Supervision for the single-box detection head."""
+    b, h, w = masks.shape
+    fg = (masks == foreground_class)
+    ys = jnp.arange(h, dtype=jnp.float32)[None, :, None]
+    xs = jnp.arange(w, dtype=jnp.float32)[None, None, :]
+    big = jnp.float32(1e9)
+    y_min = jnp.min(jnp.where(fg, ys, big), axis=(1, 2))
+    x_min = jnp.min(jnp.where(fg, xs, big), axis=(1, 2))
+    y_max = jnp.max(jnp.where(fg, ys, -1.0), axis=(1, 2))
+    x_max = jnp.max(jnp.where(fg, xs, -1.0), axis=(1, 2))
+    has = fg.any(axis=(1, 2))
+    cx = (x_min + x_max + 1.0) / 2.0 / w
+    cy = (y_min + y_max + 1.0) / 2.0 / h
+    bw = (x_max - x_min + 1.0) / w
+    bh = (y_max - y_min + 1.0) / h
+    box = jnp.stack([cx, cy, bw, bh], axis=-1)
+    return jnp.where(has[:, None], box, 0.0), has
+
+
+def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: bool = True,
+                        train_detection: bool = True):
+    pre = cfg.preprocessing
+    lw = cfg.model.losses
+    patch = cfg.model.graph_construction.patch_size
+
+    def train_step(state: TrainState, images_u8, masks, key):
+        aug_key, drop_key = jax.random.split(jax.random.fold_in(key, state.step))
+
+        def loss_fn(params):
+            imgs, aug_masks = device_preprocess_batch(
+                aug_key, images_u8, masks,
+                pre.normalization_mean, pre.normalization_std,
+                augment=augment, flip_prob=pre.horizontal_flip_prob,
+                rotation_degrees=pre.rotation_degrees,
+            )
+            out, new_model_state = model.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                imgs,
+                train=True,
+                mutable=["batch_stats"],
+                rngs={"dropout": drop_key},
+            )
+            b = imgs.shape[0]
+            logits = out["logits"]
+
+            l_seg = losses.cross_entropy_loss(logits, aug_masks)
+
+            # y_p from ground truth: foreground fraction per patch > 0.5.
+            fg_frac = patch_reduce_mean(
+                (aug_masks == 1).astype(jnp.float32)[..., None], patch
+            )[..., 0]
+            y_p = (fg_frac > 0.5).astype(jnp.float32)
+            n_patches = y_p.shape[1] * y_p.shape[2]
+            l_feature = losses.feature_consistency_loss(
+                out["f_unet_patches"].reshape(b, n_patches, -1),
+                out["gat_feats"].reshape(b, n_patches, -1),
+                y_p.reshape(b, n_patches),
+                margin=lw.feature_loss_margin,
+            )
+
+            l_partition = out["l_partition"].mean()
+
+            probs = jax.nn.softmax(logits, axis=-1)
+            l_shape = losses.elliptical_shape_loss_from_probs(probs)
+            l_smooth = losses.total_variation_loss(probs[..., 1:2])
+
+            total = (
+                l_seg
+                + lw.l_shape_weight * l_shape
+                + lw.l_feature_weight * l_feature
+                + lw.l_partition_weight * l_partition
+                + lw.l_smooth_weight * l_smooth
+            )
+
+            aux = {
+                "l_unet_seg": l_seg,
+                "l_shape": l_shape,
+                "l_feature": l_feature,
+                "l_partition": l_partition,
+                "l_smooth": l_smooth,
+            }
+            if train_detection:
+                gt_box, has_obj = gt_union_box(aug_masks)
+                l_bbox, l_conf = losses.detection_losses(
+                    out["pred_bboxes"], out["pred_confidence"], gt_box, has_obj
+                )
+                total = total + l_bbox + l_conf
+                aux["l_bbox"] = l_bbox
+                aux["l_conf"] = l_conf
+            aux["total"] = total
+            return total, (new_model_state["batch_stats"], aux)
+
+        (loss, (new_bs, aux)), grads = jax.value_and_grad(loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_updates(tx, grads, new_bs)
+        return new_state, aux
+
+    return train_step
+
+
+def train_end_to_end(
+    config_dir: str,
+    max_epochs: Optional[int] = None,
+    max_steps_per_epoch: Optional[int] = None,
+    data_root_override: Optional[str] = None,
+    train_detection: bool = True,
+) -> Tuple[TrainState, Dict[str, Any]]:
+    cfg = PipelineConfig.from_config_dir(config_dir)
+    train_cfg = cfg.training
+    ds_cfg = cfg.dataset
+    data_root = data_root_override or ds_cfg.data_root
+
+    dataset = MangoDataset(
+        image_dir=os.path.join(data_root, ds_cfg.train_dir, ds_cfg.image_folder),
+        mask_dir=os.path.join(data_root, ds_cfg.train_dir, ds_cfg.mask_folder),
+        image_size=cfg.preprocessing.resize_dim,
+        num_classes=cfg.model.unet.out_channels,
+    )
+    loader = BatchLoader(dataset, train_cfg.batch_size, shuffle=True, drop_last=True, seed=train_cfg.seed)
+    steps_per_epoch = max(1, len(loader))
+    if max_steps_per_epoch:
+        steps_per_epoch = min(steps_per_epoch, max_steps_per_epoch)
+
+    model = build_mingraph_unet(cfg)
+    tx, schedule = make_optimizer(train_cfg, steps_per_epoch)
+    mesh = make_mesh(train_cfg.data_parallel, train_cfg.spatial_parallel)
+
+    key = jax.random.key(train_cfg.seed)
+    init_key, loop_key = jax.random.split(key)
+    sample = jnp.zeros((train_cfg.batch_size, *cfg.preprocessing.resize_dim, 3), jnp.float32)
+
+    ckpt = CheckpointManager(train_cfg.checkpoint_dir, max_to_keep=3)
+    state = None
+    start_epoch = 0
+    if train_cfg.resume and ckpt.latest_step is not None:
+        abstract = jax.eval_shape(
+            lambda: TrainState.create(model.init(init_key, sample), tx)
+        )
+        restored = ckpt.restore_latest({"state": abstract, "epoch": 0})
+        if restored is not None:
+            state = restored["state"]
+            start_epoch = int(restored["epoch"]) + 1
+            print(f"[e2e] resumed from step {int(state.step)} (epoch {start_epoch})")
+    if state is None:
+        variables = jax.jit(model.init)(init_key, sample)
+        state = TrainState.create(variables, tx)
+
+    train_step = make_e2e_train_step(model, tx, cfg, augment=True, train_detection=train_detection)
+    jit_step = jax.jit(train_step, donate_argnums=(0,) if train_cfg.donate_buffers else ())
+
+    num_epochs = max_epochs if max_epochs is not None else train_cfg.num_epochs
+    logger = MetricsLogger(train_cfg.log_dir, "train_end_to_end", train_cfg.log_interval)
+    history = {"epoch_loss": []}
+
+    with mesh:
+        for epoch in range(start_epoch, num_epochs):
+            running: Dict[str, float] = {}
+            n_steps = 0
+            for imgs_np, masks_np in loader.epoch(epoch):
+                if n_steps >= steps_per_epoch:
+                    break
+                loop_key, step_key = jax.random.split(loop_key)
+                imgs = shard_batch(jnp.asarray(imgs_np), mesh)
+                masks = shard_batch(jnp.asarray(masks_np), mesh)
+                state, aux = jit_step(state, imgs, masks, step_key)
+                n_steps += 1
+                for k, v in aux.items():
+                    running[k] = running.get(k, 0.0) + float(v)
+                logger.log(
+                    int(state.step),
+                    {**{k: float(v) for k, v in aux.items()},
+                     "lr": float(schedule(int(state.step))), "epoch": epoch},
+                )
+            epoch_loss = running.get("total", 0.0) / max(1, n_steps)
+            history["epoch_loss"].append(epoch_loss)
+            avg = {k: v / max(1, n_steps) for k, v in running.items()}
+            print(
+                f"[e2e] epoch {epoch + 1}/{num_epochs} "
+                + " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items()))
+            )
+            if (epoch + 1) % train_cfg.save_epoch_interval == 0 or epoch == num_epochs - 1:
+                ckpt.save(int(state.step), {"state": jax.device_get(state), "epoch": epoch})
+    ckpt.wait()
+    logger.close()
+    return state, history

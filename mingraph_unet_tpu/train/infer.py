@@ -1,0 +1,101 @@
+"""Single-image segmentation inference (≡ ``scripts/infer_segmentation.py``).
+
+Contract (SURVEY §3.3): config + weights + image in → uint8 label map +
+color visualization out (argmax over class logits at input resolution).
+Color palette matches ``postprocess_segmentation``
+(``infer_segmentation.py:37-46``): BGR black / green / red / blue, then
+deterministic extras (the reference uses np.random there; we seed it so
+outputs are reproducible).
+
+Checkpoint compatibility mirrors the reference loader's tolerance for both
+raw state dicts and composite checkpoint dicts
+(``infer_segmentation.py:90-95``): accepts an Orbax directory (latest step),
+a ``{"state": TrainState-like}`` dict, or a bare ``{"params": ...,
+"batch_stats": ...}`` variables dict.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mingraph_unet_tpu.config import PipelineConfig
+from mingraph_unet_tpu.data.dataset import load_image_rgb, _resize_image
+from mingraph_unet_tpu.ops.image import normalize
+from mingraph_unet_tpu.train.checkpoint import CheckpointManager
+from mingraph_unet_tpu.train.segmentation import build_unet
+
+__all__ = ["postprocess_segmentation", "load_variables", "infer_segmentation"]
+
+
+def class_palette(num_classes: int) -> np.ndarray:
+    colors = [(0, 0, 0), (0, 255, 0), (0, 0, 255), (255, 0, 0)]
+    rng = np.random.default_rng(0)
+    while len(colors) < num_classes + 1:
+        colors.append(tuple(int(v) for v in rng.integers(0, 255, 3)))
+    return np.asarray(colors[: max(num_classes, 1)], np.uint8)
+
+
+def postprocess_segmentation(logits_or_labels: np.ndarray, num_classes: int) -> Tuple[np.ndarray, np.ndarray]:
+    """(H, W[, C]) logits or labels → (label map HW uint8-ish, BGR viz HWC)."""
+    arr = np.asarray(logits_or_labels)
+    if arr.ndim == 4:
+        arr = arr[0]
+    if arr.ndim == 3 and arr.shape[-1] == num_classes:
+        labels = arr.argmax(-1)
+    else:
+        labels = arr.astype(np.int64)
+    palette = class_palette(num_classes)
+    vis = palette[np.clip(labels, 0, num_classes - 1)]
+    return labels, vis
+
+
+def load_variables(weights_path: str, abstract: Optional[Dict[str, Any]] = None) -> Dict[str, Any]:
+    """Load model variables from an Orbax checkpoint directory, accepting the
+    composite trainer layout or a bare variables dict."""
+    ckpt = CheckpointManager(weights_path)
+    restored = ckpt.restore_latest()
+    if restored is None:
+        raise FileNotFoundError(f"No checkpoint found under {weights_path!r}")
+    if "state" in restored:  # composite trainer checkpoint
+        state = restored["state"]
+        return {"params": state["params"], "batch_stats": state.get("batch_stats", {})}
+    if "params" in restored:  # bare variables dict
+        return {k: v for k, v in restored.items() if k in ("params", "batch_stats")}
+    raise ValueError(f"Unrecognized checkpoint layout with keys {list(restored)}")
+
+
+def infer_segmentation(
+    config_dir: str,
+    image_path: str,
+    weights_path: str,
+    output_dir: str = "outputs/inference",
+) -> Dict[str, Any]:
+    """Run U-Net inference on one image and write label + viz PNGs."""
+    import cv2
+
+    cfg = PipelineConfig.from_config_dir(config_dir)
+    model = build_unet(cfg)
+    variables = load_variables(weights_path)
+
+    img = load_image_rgb(image_path)
+    resized = _resize_image(img, cfg.preprocessing.resize_dim)
+    x = normalize(jnp.asarray(resized, jnp.float32) / 255.0,
+                  cfg.preprocessing.normalization_mean,
+                  cfg.preprocessing.normalization_std)[None]
+
+    logits, _, _ = jax.jit(lambda v, x: model.apply(v, x, train=False))(variables, x)
+    labels, vis = postprocess_segmentation(np.asarray(logits), cfg.model.unet.out_channels)
+
+    os.makedirs(output_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(image_path))[0]
+    label_path = os.path.join(output_dir, f"{stem}_seg_labels.png")
+    vis_path = os.path.join(output_dir, f"{stem}_seg_visualization.png")
+    cv2.imwrite(label_path, labels.astype(np.uint8))
+    cv2.imwrite(vis_path, vis)
+    print(f"[infer] wrote {label_path} and {vis_path}")
+    return {"labels": labels, "visualization": vis, "label_path": label_path, "vis_path": vis_path}
