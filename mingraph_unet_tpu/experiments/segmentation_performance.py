@@ -1,0 +1,141 @@
+"""Segmentation test-set evaluation (≡ ``experiments/segmentation_performance.py``).
+
+Evaluates a trained model on the test split (falling back to val when test is
+absent, reference lines 40-42), accumulates flat label arrays, computes the
+reference-exact metrics (E1), and prints the mango-class (index 1) and macro
+rows in Table-1 format (reference lines 153-176). Supports ``model_type`` of
+``unet`` and ``mingraph-unet`` (the reference mentions deeplabv3+/yolo but
+leaves them unimplemented, lines 60-81 — same here, with a clear error).
+
+Run: ``python -m mingraph_unet_tpu.experiments.segmentation_performance
+--config_path CONFIGS --weights_path CKPT [--model_type unet]``.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+from mingraph_unet_tpu.config import PipelineConfig
+from mingraph_unet_tpu.data.dataset import BatchLoader, MangoDataset, device_preprocess_batch
+from mingraph_unet_tpu.experiments.metrics import segmentation_metrics
+
+__all__ = ["evaluate_segmentation_model", "print_table1"]
+
+
+def _find_split_dir(cfg: PipelineConfig, data_root: str) -> str:
+    test_dir = os.path.join(data_root, cfg.dataset.test_dir)
+    if os.path.isdir(os.path.join(test_dir, cfg.dataset.image_folder)):
+        return test_dir
+    val_dir = os.path.join(data_root, cfg.dataset.val_dir)
+    if os.path.isdir(os.path.join(val_dir, cfg.dataset.image_folder)):
+        print(f"[eval] test split missing; falling back to val ({val_dir})")
+        return val_dir
+    train_dir = os.path.join(data_root, cfg.dataset.train_dir)
+    print(f"[eval] test/val splits missing; falling back to train ({train_dir})")
+    return train_dir
+
+
+def evaluate_segmentation_model(
+    config_dir: str,
+    weights_path: str,
+    model_type: str = "unet",
+    batch_size: int = 8,
+    data_root_override: Optional[str] = None,
+) -> Dict[str, Any]:
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.train.infer import load_variables
+    from mingraph_unet_tpu.train.segmentation import build_unet
+    from mingraph_unet_tpu.train.end_to_end import build_mingraph_unet
+
+    cfg = PipelineConfig.from_config_dir(config_dir)
+    model_type = model_type.lower()
+    if model_type == "unet":
+        model = build_unet(cfg)
+
+        def forward(variables, imgs):
+            logits, _, _ = model.apply(variables, imgs, train=False)
+            return logits
+
+    elif model_type in ("mingraph-unet", "mingraph_unet"):
+        model = build_mingraph_unet(cfg)
+
+        def forward(variables, imgs):
+            return model.apply(variables, imgs, train=False)["logits"]
+
+    else:
+        raise NotImplementedError(
+            f"model_type {model_type!r} is not implemented (choices: unet, mingraph-unet)"
+        )
+
+    variables = load_variables(weights_path)
+    pre = cfg.preprocessing
+
+    @jax.jit
+    def predict(images_u8):
+        imgs, _ = device_preprocess_batch(
+            jax.random.key(0), images_u8, jnp.zeros(images_u8.shape[:3], jnp.int32),
+            pre.normalization_mean, pre.normalization_std, augment=False,
+        )
+        return jnp.argmax(forward(variables, imgs), axis=-1)
+
+    data_root = data_root_override or cfg.dataset.data_root
+    split_dir = _find_split_dir(cfg, data_root)
+    dataset = MangoDataset(
+        image_dir=os.path.join(split_dir, cfg.dataset.image_folder),
+        mask_dir=os.path.join(split_dir, cfg.dataset.mask_folder),
+        image_size=pre.resize_dim,
+        num_classes=cfg.model.unet.out_channels,
+    )
+    loader = BatchLoader(dataset, batch_size, shuffle=False, drop_last=False)
+    trues, preds = [], []
+    for imgs_np, masks_np in loader.epoch(0):
+        preds.append(np.asarray(predict(jnp.asarray(imgs_np))).reshape(-1))
+        trues.append(masks_np.reshape(-1))
+    results = segmentation_metrics(
+        np.concatenate(trues), np.concatenate(preds), cfg.model.unet.out_channels
+    )
+    print_table1(results, model_type)
+    return results
+
+
+def print_table1(results: Dict[str, Any], model_name: str, mango_class: int = 1) -> None:
+    """Table-1-format printout (reference lines 153-171)."""
+    print(f"\n--- Segmentation Performance ({model_name}) ---")
+    print(f"{'Metric':<12} {'Mango (cls 1)':>14} {'Macro avg':>12}")
+    rows = [
+        ("IoU", "iou_per_class", "mean_iou"),
+        ("Precision", "precision_per_class", "mean_precision"),
+        ("Recall", "recall_per_class", "mean_recall"),
+        ("F1", "f1_per_class", "mean_f1"),
+    ]
+    for name, per_class_key, mean_key in rows:
+        per_class = results[per_class_key]
+        mango = per_class[mango_class] if len(per_class) > mango_class else float("nan")
+        print(f"{name:<12} {mango:>14.4f} {results[mean_key]:>12.4f}")
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate segmentation performance")
+    parser.add_argument("--config_path", required=True)
+    parser.add_argument("--weights_path", required=True)
+    parser.add_argument("--model_type", default="unet")
+    parser.add_argument("--batch_size", type=int, default=8)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    from mingraph_unet_tpu.utils.env import setup_host
+
+    setup_host(force_cpu=args.cpu)
+    evaluate_segmentation_model(
+        args.config_path, args.weights_path, args.model_type, args.batch_size
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,219 @@
+"""Yield estimation evaluation (≡ ``experiments/yield_estimation_performance.py``).
+
+The reference acknowledges its real yield dataset path is missing and
+evaluates with an internal ``DummyYieldDataset`` (random images / counts /
+occlusion-flagged boxes, lines 52-79) and a ``MockDetector`` emitting random
+detections (lines 96-122). Both are reproduced here for schema parity — and
+additionally a **real** detector is provided: segmentation → connected-
+component instancing → per-fruit boxes + counts
+(:class:`SegmentationCountDetector`), which is what the reference's
+single-box head could never do (SURVEY §2.1 M13).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+from mingraph_unet_tpu.config import PipelineConfig
+from mingraph_unet_tpu.experiments.metrics import yield_estimation_metrics
+
+__all__ = [
+    "DummyYieldDataset",
+    "MockDetector",
+    "SegmentationCountDetector",
+    "evaluate_yield_model",
+]
+
+
+class DummyYieldDataset:
+    """Random images + GT counts + occlusion-flagged xyxy boxes — the
+    *intended* yield-GT schema (reference lines 57-79)."""
+
+    def __init__(self, num_images: int = 8, image_size: Tuple[int, int] = (128, 128), seed: int = 0):
+        self.num_images = num_images
+        self.image_size = image_size
+        self.rng = np.random.default_rng(seed)
+        self._items = [self._make(i) for i in range(num_images)]
+
+    def _make(self, idx):
+        h, w = self.image_size
+        img = self.rng.integers(0, 255, (h, w, 3), np.uint8)
+        count = int(self.rng.integers(1, 8))
+        objects = []
+        for _ in range(count):
+            x1 = int(self.rng.integers(0, w - 16))
+            y1 = int(self.rng.integers(0, h - 16))
+            bw = int(self.rng.integers(8, 16))
+            bh = int(self.rng.integers(8, 16))
+            objects.append(
+                {
+                    "bbox": [x1, y1, x1 + bw, y1 + bh],
+                    "class_id": 0,
+                    "occluded": bool(self.rng.random() < 0.3),
+                }
+            )
+        return img, count, objects
+
+    def __len__(self):
+        return self.num_images
+
+    def __getitem__(self, idx):
+        return self._items[idx]
+
+
+class MockDetector:
+    """Random detections (reference lines 101-119) — schema placeholder."""
+
+    def __init__(self, seed: int = 0):
+        self.rng = np.random.default_rng(seed)
+
+    def __call__(self, image: np.ndarray) -> List[dict]:
+        h, w = image.shape[:2]
+        n = int(self.rng.integers(0, 9))
+        dets = []
+        for _ in range(n):
+            x1 = int(self.rng.integers(0, w - 10))
+            y1 = int(self.rng.integers(0, h - 10))
+            dets.append(
+                {
+                    "bbox": [x1, y1, x1 + int(self.rng.integers(8, 20)), y1 + int(self.rng.integers(8, 20))],
+                    "class_id": 0,
+                    "confidence": float(self.rng.random()),
+                }
+            )
+        return dets
+
+
+class SegmentationCountDetector:
+    """Real detector: segmentation argmax → 4-connected components →
+    instance boxes + mean-probability confidences."""
+
+    def __init__(self, config_dir: str, weights_path: str, model_type: str = "unet",
+                 max_objects: int = 32, min_area: int = 10):
+        import jax
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.data.dataset import device_preprocess_batch
+        from mingraph_unet_tpu.ops import cc
+        from mingraph_unet_tpu.train.infer import load_variables
+        from mingraph_unet_tpu.train.segmentation import build_unet
+        from mingraph_unet_tpu.train.end_to_end import build_mingraph_unet
+
+        cfg = PipelineConfig.from_config_dir(config_dir)
+        self.cfg = cfg
+        self.max_objects = max_objects
+        variables = load_variables(weights_path)
+        if model_type == "unet":
+            model = build_unet(cfg)
+
+            def logits_fn(imgs):
+                return model.apply(variables, imgs, train=False)[0]
+
+        else:
+            model = build_mingraph_unet(cfg)
+
+            def logits_fn(imgs):
+                return model.apply(variables, imgs, train=False)["logits"]
+
+        pre = cfg.preprocessing
+
+        @jax.jit
+        def detect(images_u8):
+            imgs, _ = device_preprocess_batch(
+                jax.random.key(0), images_u8, jnp.zeros(images_u8.shape[:3], jnp.int32),
+                pre.normalization_mean, pre.normalization_std, augment=False,
+            )
+            logits = logits_fn(imgs)
+            probs = jax.nn.softmax(logits, axis=-1)
+            fg = (jnp.argmax(logits, axis=-1) == 1).astype(jnp.int32)
+
+            def per_image(mask, prob_fg):
+                labels = cc.label_components(mask)
+                masks, areas = cc.top_instances(labels, max_objects, min_area)
+                boxes = cc.instance_boxes(masks)
+                conf = (masks * prob_fg[None]).sum((1, 2)) / jnp.maximum(areas, 1.0)
+                return boxes, areas, conf
+
+            return jax.vmap(per_image)(fg, probs[..., 1])
+
+        self._detect = detect
+        self._resize = pre.resize_dim
+
+    def __call__(self, image: np.ndarray) -> List[dict]:
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.data.dataset import _resize_image
+
+        h0, w0 = image.shape[:2]
+        resized = _resize_image(image, self._resize)
+        boxes, areas, conf = self._detect(jnp.asarray(resized)[None])
+        boxes, areas, conf = map(np.asarray, (boxes[0], areas[0], conf[0]))
+        sy, sx = h0 / self._resize[0], w0 / self._resize[1]
+        dets = []
+        for b, a, c in zip(boxes, areas, conf):
+            if a <= 0:
+                continue
+            dets.append(
+                {
+                    "bbox": [b[0] * sx, b[1] * sy, b[2] * sx, b[3] * sy],
+                    "class_id": 0,
+                    "confidence": float(c),
+                }
+            )
+        return dets
+
+
+def evaluate_yield_model(
+    config_dir: Optional[str] = None,
+    weights_path: Optional[str] = None,
+    model_type: str = "mock",
+    num_images: int = 8,
+    seed: int = 0,
+) -> Dict[str, float]:
+    """Evaluate counting/yield metrics. ``model_type``: 'mock' reproduces the
+    reference's MockDetector path; 'unet'/'mingraph-unet' run the real
+    segmentation-instancing detector."""
+    dataset = DummyYieldDataset(num_images=num_images, seed=seed)
+    if model_type == "mock":
+        detector = MockDetector(seed=seed)
+    else:
+        if not (config_dir and weights_path):
+            raise ValueError("config_dir and weights_path required for a real detector")
+        detector = SegmentationCountDetector(config_dir, weights_path, model_type)
+
+    gt_counts, pred_counts, gt_objs, pred_objs = [], [], [], []
+    for i in range(len(dataset)):
+        img, count, objects = dataset[i]
+        dets = detector(img)
+        gt_counts.append(count)
+        pred_counts.append(len(dets))
+        gt_objs.append(objects)
+        pred_objs.append(dets)
+    results = yield_estimation_metrics(gt_counts, pred_counts, gt_objs, pred_objs)
+    print("\n--- Yield Estimation Performance ---")
+    for k, v in results.items():
+        print(f"  {k}: {v:.3f}")
+    return results
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Evaluate yield estimation")
+    parser.add_argument("--config_path", default=None)
+    parser.add_argument("--weights_path", default=None)
+    parser.add_argument("--model_type", default="mock")
+    parser.add_argument("--num_images", type=int, default=8)
+    parser.add_argument("--cpu", action="store_true")
+    args = parser.parse_args()
+
+    from mingraph_unet_tpu.utils.env import setup_host
+
+    setup_host(force_cpu=args.cpu)
+    evaluate_yield_model(args.config_path, args.weights_path, args.model_type, args.num_images)
+
+
+if __name__ == "__main__":
+    main()

@@ -17,10 +17,16 @@ __all__ = ["setup_host"]
 
 
 def setup_host(force_cpu: bool = False, cache_dir: str = "~/.cache/mingraph_unet_tpu/xla") -> None:
-    if force_cpu:
-        os.environ["JAX_PLATFORMS"] = "cpu"
     cache = os.path.expanduser(cache_dir)
     os.makedirs(cache, exist_ok=True)
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", cache)
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
     os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
+    if force_cpu:
+        # Env alone is not enough on hosts whose sitecustomize imports jax at
+        # interpreter start (the env default is baked at import time) — the
+        # config update is the authoritative switch.
+        os.environ["JAX_PLATFORMS"] = "cpu"
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")

@@ -8,8 +8,9 @@ before the first ``import jax`` anywhere in the test session.
 import os
 import sys
 
-# NOTE: the environment force-sets JAX_PLATFORMS=axon (TPU tunnel) via
-# sitecustomize, so this must be an unconditional override, not setdefault.
+# NOTE: the environment force-sets JAX_PLATFORMS=axon (TPU tunnel) via a
+# sitecustomize that imports jax at interpreter start — so the env var is
+# already baked in and only jax.config.update can override the platform.
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
@@ -24,6 +25,11 @@ os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_ENTRY_SIZE_BYTES", "0")
 REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 if REPO_ROOT not in sys.path:
     sys.path.insert(0, REPO_ROOT)
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", "tests must run on the CPU backend"
 
 REFERENCE_ROOT = "/root/reference/MinGraph-UNet"
 
