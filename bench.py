@@ -44,8 +44,7 @@ def measure_tpu(batch=BATCH, size=SIZE, iters=20):
     jax.block_until_ready(variables)
     print(f"[bench] init: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
-    @jax.jit
-    def forward(variables, x):
+    def forward_checksum(variables, x):
         out = model.apply(variables, x, train=False)
         # Scalar checksum: forces full execution but keeps the device→host
         # fetch tiny (block_until_ready does not reliably synchronize over
@@ -53,21 +52,32 @@ def measure_tpu(batch=BATCH, size=SIZE, iters=20):
         # the chip).
         return out["logits"].sum() + out["pred_confidence"].sum() + out["pred_bboxes"].sum()
 
+    @jax.jit
+    def forward_loop(variables, x):
+        # N steps inside one executable: amortizes host→device dispatch (the
+        # relay adds ~28 ms/call) so the measurement is chip throughput. The
+        # checksum feeds back into the input (×0 in magnitude ~1e-12) to
+        # carry a loop dependence that prevents XLA from hoisting the body.
+        def body(carry, _):
+            chk = forward_checksum(variables, x + carry * 1e-12)
+            return chk, None
+        chk, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+        return chk
+
     t0 = time.perf_counter()
-    float(forward(variables, x))
-    print(f"[bench] compile+first run: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
-    float(forward(variables, x))  # second warmup
+    float(forward_loop(variables, x))
+    print(f"[bench] compile+first loop: {time.perf_counter() - t0:.1f}s", file=sys.stderr)
 
     times = []
-    for _ in range(iters):
+    for _ in range(3):
         t0 = time.perf_counter()
-        float(forward(variables, x))
+        float(forward_loop(variables, x))
         times.append(time.perf_counter() - t0)
-    dt = sum(times)
+    dt = min(times)
     ips = batch * iters / dt
     print(
-        f"[bench] {iters} iters in {dt:.2f}s -> {ips:.2f} images/s "
-        f"(best step {min(times) * 1e3:.1f} ms)",
+        f"[bench] {iters}-step loop best {dt:.2f}s -> {ips:.2f} images/s "
+        f"({dt / iters * 1e3:.1f} ms/step)",
         file=sys.stderr,
     )
     return ips

@@ -134,17 +134,29 @@ def _equalize_channel_u8(chan: jnp.ndarray) -> jnp.ndarray:
 
     LUT: ``round((cdf(v) - cdf_min) / (total - cdf_min) * 255)`` with
     ``cdf_min`` the CDF at the first occupied bin.
+
+    TPU note: both the histogram and the LUT application are expressed as
+    dense one-hot reductions/matmuls — scatter-add and 256-entry gathers
+    serialize badly on TPU (~16 ms and ~13 ms per 512² image measured on
+    v5e vs ~0 ms for the dense forms).
     """
     flat = chan.reshape(-1).astype(jnp.int32)
-    hist = jnp.zeros((256,), jnp.int32).at[flat].add(1)
+    bins = jnp.arange(256, dtype=jnp.int32)
+    onehot = flat[:, None] == bins[None, :]  # (N, 256) bool
+    hist = onehot.sum(axis=0, dtype=jnp.int32)
     cdf = jnp.cumsum(hist)
     total = flat.shape[0]
     # cdf value at first nonzero bin == smallest nonzero cdf entry.
     cdf_min = jnp.min(jnp.where(hist > 0, cdf, total + 1))
     denom = jnp.maximum(total - cdf_min, 1)
     lut = jnp.round((cdf - cdf_min).astype(jnp.float32) / denom * 255.0)
-    lut = jnp.clip(lut, 0, 255).astype(jnp.int32)
-    return lut[flat].reshape(chan.shape)
+    lut = jnp.clip(lut, 0, 255)
+    # One-hot 'gather': each row selects exactly one LUT entry (≤255, exact
+    # in bf16), so the bf16 matmul is lossless and rides the MXU.
+    out = jnp.einsum(
+        "nk,k->n", onehot.astype(jnp.bfloat16), lut.astype(jnp.bfloat16)
+    ).astype(jnp.int32)
+    return out.reshape(chan.shape)
 
 
 def equalize_histogram_gray(gray_u8: jnp.ndarray) -> jnp.ndarray:

@@ -1,0 +1,109 @@
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mingraph_unet_tpu.parallel.mesh import make_mesh, replicate, shard_batch
+from mingraph_unet_tpu.parallel.spatial import (
+    extract_tiles,
+    spatial_sharded_apply,
+    stitch_tiles,
+    tiled_inference,
+)
+
+
+class TestMesh:
+    def test_make_mesh_all_devices(self):
+        mesh = make_mesh(data_parallel=0, spatial_parallel=2)
+        assert mesh.shape["data"] * mesh.shape["spatial"] == 8
+        assert mesh.shape["spatial"] == 2
+
+    def test_make_mesh_too_many(self):
+        with pytest.raises(ValueError):
+            make_mesh(16, 2)
+
+    def test_shard_batch_devices(self):
+        mesh = make_mesh(4, 2)
+        x = jnp.zeros((8, 16, 16, 3))
+        xs = shard_batch(x, mesh, spatial=True)
+        assert len(xs.sharding.device_set) == 8
+
+    def test_dp_matches_single_device(self):
+        # A jitted reduction over a dp-sharded batch equals the unsharded one.
+        mesh = make_mesh(8, 1)
+        x = jnp.asarray(np.random.default_rng(0).random((16, 8)), jnp.float32)
+        xs = shard_batch(x, mesh)
+
+        f = jax.jit(lambda a: (a * 2).sum(axis=0))
+        with mesh:
+            out_sharded = f(xs)
+        np.testing.assert_allclose(np.asarray(out_sharded), np.asarray(f(x)), rtol=1e-6)
+
+
+class TestTiling:
+    def test_extract_stitch_roundtrip_identity(self):
+        scene = jnp.asarray(np.random.default_rng(1).random((2, 100, 140, 3)), jnp.float32)
+        tiles, grid = extract_tiles(scene, tile=64, halo=8)
+        assert grid == (2, 3)
+        assert tiles.shape == (2 * 3 * 2, 64 + 16, 64 + 16, 3)
+        back = stitch_tiles(tiles, grid, 2, (100, 140), tile=64, halo=8)
+        np.testing.assert_allclose(np.asarray(back), np.asarray(scene), atol=1e-7)
+
+    def test_tiled_matches_whole_for_local_op(self):
+        # A 3x3 conv (receptive field 1 < halo) must stitch exactly.
+        k = jnp.asarray(np.random.default_rng(2).random((3, 3, 3, 4)), jnp.float32)
+
+        def conv(x):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+
+        scene = jnp.asarray(np.random.default_rng(3).random((1, 96, 96, 3)), jnp.float32)
+        whole = conv(scene)
+        tiled = tiled_inference(conv, scene, tile=32, halo=4)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(whole), atol=1e-5)
+
+    def test_tile_batching_equivalent(self):
+        def op(x):
+            return x * 2.0
+
+        scene = jnp.asarray(np.random.default_rng(4).random((1, 64, 64, 3)), jnp.float32)
+        a = tiled_inference(op, scene, tile=32, halo=2)
+        b = tiled_inference(op, scene, tile=32, halo=2, tile_batch=1)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b))
+
+    def test_unet_tiled_vs_whole(self):
+        from mingraph_unet_tpu.models.unet import UNet
+
+        model = UNet(num_classes=2, init_features=4, depth=2)
+        scene = jnp.asarray(np.random.default_rng(5).random((1, 128, 128, 3)), jnp.float32)
+        v = jax.jit(model.init)(jax.random.key(0), scene[:, :64, :64])
+
+        def apply_fn(x):
+            return model.apply(v, x, train=False)[0]
+
+        with jax.default_matmul_precision("highest"):
+            whole = apply_fn(scene)
+            # Depth-2 U-Net receptive field ≈ 20 px/side; halo 32 covers it
+            # and stays aligned to the 2^depth pooling grid.
+            tiled = tiled_inference(apply_fn, scene, tile=64, halo=32)
+        np.testing.assert_allclose(np.asarray(tiled), np.asarray(whole), atol=1e-4)
+
+
+class TestSpatialSharding:
+    def test_sharded_conv_matches(self):
+        mesh = make_mesh(1, 4)
+        k = jnp.asarray(np.random.default_rng(6).random((3, 3, 3, 2)), jnp.float32)
+
+        def conv(x):
+            return jax.lax.conv_general_dilated(
+                x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            )
+
+        scene = jnp.asarray(np.random.default_rng(7).random((1, 64, 64, 3)), jnp.float32)
+        with jax.default_matmul_precision("highest"):
+            whole = conv(scene)
+            sharded = spatial_sharded_apply(conv, scene, mesh)
+        np.testing.assert_allclose(np.asarray(sharded), np.asarray(whole), atol=1e-5)
