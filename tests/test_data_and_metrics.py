@@ -1,0 +1,154 @@
+import os
+
+import numpy as np
+import pytest
+
+from mingraph_unet_tpu.data.dataset import BatchLoader, MangoDataset
+from mingraph_unet_tpu.experiments import metrics as M
+
+
+@pytest.fixture(scope="module")
+def tiny_dataset(tmp_path_factory):
+    import cv2
+
+    base = tmp_path_factory.mktemp("ds")
+    img_dir = base / "images"
+    mask_dir = base / "masks"
+    img_dir.mkdir()
+    mask_dir.mkdir()
+    rng = np.random.default_rng(0)
+    for i in range(5):
+        cv2.imwrite(str(img_dir / f"{i:03d}.png"), rng.integers(0, 255, (40, 50, 3)).astype(np.uint8))
+        cv2.imwrite(str(mask_dir / f"{i:03d}.png"), rng.integers(0, 2, (40, 50)).astype(np.uint8))
+    return str(img_dir), str(mask_dir)
+
+
+class TestMangoDataset:
+    def test_pairing_and_shapes(self, tiny_dataset):
+        img_dir, mask_dir = tiny_dataset
+        ds = MangoDataset(img_dir, mask_dir, image_size=(32, 32), num_classes=2)
+        assert len(ds) == 5
+        img, mask = ds[0]
+        assert img.shape == (32, 32, 3) and img.dtype == np.uint8
+        assert mask.shape == (32, 32) and mask.dtype == np.int32
+        assert mask.max() <= 1
+
+    def test_missing_masks_dummy(self, tiny_dataset, capsys):
+        img_dir, _ = tiny_dataset
+        ds = MangoDataset(img_dir, None, image_size=(16, 16))
+        _, mask = ds[0]
+        assert mask.sum() == 0
+        assert "dummy" in capsys.readouterr().out
+
+    def test_count_mismatch_raises(self, tiny_dataset, tmp_path):
+        import cv2
+
+        img_dir, _ = tiny_dataset
+        bad_masks = tmp_path / "bad_masks"
+        bad_masks.mkdir()
+        cv2.imwrite(str(bad_masks / "only_one.png"), np.zeros((8, 8), np.uint8))
+        with pytest.raises(ValueError, match="mismatch"):
+            MangoDataset(img_dir, str(bad_masks))
+
+    def test_empty_dir_raises(self, tmp_path):
+        (tmp_path / "empty").mkdir()
+        with pytest.raises(FileNotFoundError):
+            MangoDataset(str(tmp_path / "empty"))
+
+    def test_strict_vs_lenient(self, tiny_dataset, tmp_path):
+        import cv2
+
+        img_dir = tmp_path / "imgs"
+        img_dir.mkdir()
+        cv2.imwrite(str(img_dir / "ok.png"), np.zeros((8, 8, 3), np.uint8))
+        ds = MangoDataset(str(img_dir), None, image_size=(8, 8))
+        ds.image_paths[0] = str(img_dir / "gone.png")  # simulate corruption
+        with pytest.raises(FileNotFoundError):
+            ds[0]
+        ds.strict = False
+        img, mask = ds[0]
+        assert img.sum() == 0  # zero substitution, logged not hidden
+
+    def test_loader_epochs_deterministic(self, tiny_dataset):
+        img_dir, mask_dir = tiny_dataset
+        ds = MangoDataset(img_dir, mask_dir, image_size=(16, 16))
+        loader = BatchLoader(ds, batch_size=2, shuffle=True, drop_last=True, seed=3)
+        assert len(loader) == 2
+        a = [b[0].sum() for b in loader.epoch(0)]
+        b = [b[0].sum() for b in loader.epoch(0)]
+        c = [b[0].sum() for b in loader.epoch(1)]
+        assert a == b
+        assert a != c  # different epoch, different order (w.h.p.)
+
+
+class TestSegmentationMetrics:
+    def test_matches_sklearn_confusion(self):
+        from sklearn.metrics import confusion_matrix as sk_cm
+
+        rng = np.random.default_rng(1)
+        t = rng.integers(0, 3, 500)
+        p = rng.integers(0, 3, 500)
+        ours = M.confusion_matrix(t, p, 3)
+        np.testing.assert_array_equal(ours, sk_cm(t, p, labels=[0, 1, 2]))
+
+    def test_perfect_prediction(self):
+        t = np.array([0, 1, 1, 0, 1])
+        r = M.segmentation_metrics(t, t, 2)
+        assert r["mean_iou"] > 0.999
+        assert r["mean_f1"] > 0.999
+
+    def test_toy_case_reference_values(self):
+        # Reference __main__ toy case (metrics.py:255-262).
+        t = np.array([0, 1, 0, 1, 1, 0])
+        p = np.array([0, 1, 1, 1, 0, 0])
+        r = M.segmentation_metrics(t, p, 2)
+        # cm = [[2,1],[1,2]]: per-class IoU = 2/4.
+        np.testing.assert_allclose(r["iou_per_class"], [0.5, 0.5], atol=1e-5)
+
+    def test_missing_class_smoothing(self):
+        t = np.zeros(10, int)
+        p = np.zeros(10, int)
+        r = M.segmentation_metrics(t, p, 3)
+        # Absent classes: smoothing keeps metrics defined (≈1 with 0/0+s).
+        assert np.isfinite(r["mean_iou"])
+
+
+class TestDetectionMetrics:
+    def test_box_iou(self):
+        assert M.calculate_iou([0, 0, 10, 10], [0, 0, 10, 10]) == 1.0
+        assert M.calculate_iou([0, 0, 10, 10], [20, 20, 30, 30]) == 0.0
+        np.testing.assert_allclose(
+            M.calculate_iou([0, 0, 10, 10], [5, 0, 15, 10]), 50 / 150, atol=1e-6
+        )
+
+    def test_map_placeholder_and_ap(self):
+        gt = [[{"bbox": [0, 0, 10, 10], "class_id": 0}]]
+        pred_good = [[{"bbox": [1, 1, 10, 10], "class_id": 0, "confidence": 0.9}]]
+        pred_bad = [[{"bbox": [50, 50, 60, 60], "class_id": 0, "confidence": 0.9}]]
+        assert M.object_detection_map(gt, pred_good) > M.object_detection_map(gt, pred_bad)
+        assert M.average_precision(gt, pred_good) == 1.0
+        assert M.average_precision(gt, pred_bad) == 0.0
+
+
+class TestYieldMetrics:
+    def test_exact_counts(self):
+        r = M.yield_estimation_metrics([5, 3], [5, 3])
+        np.testing.assert_allclose(r["count_accuracy_perc"], 100.0, atol=1e-3)
+        np.testing.assert_allclose(r["yield_estimation_error_perc"], 0.0, atol=1e-6)
+
+    def test_count_accuracy_formula(self):
+        # 100 * (1 - |ΣP - ΣG| / ΣG) — reference metrics.py:189.
+        r = M.yield_estimation_metrics([10], [8])
+        np.testing.assert_allclose(r["count_accuracy_perc"], 80.0, atol=1e-3)
+
+    def test_matching_and_occlusion(self):
+        gt = [
+            [
+                {"bbox": [0, 0, 10, 10], "class_id": 0, "occluded": True},
+                {"bbox": [20, 20, 30, 30], "class_id": 0, "occluded": False},
+            ]
+        ]
+        pred = [[{"bbox": [0, 0, 10, 10], "class_id": 0, "confidence": 0.9}]]
+        r = M.yield_estimation_metrics([2], [1], gt, pred)
+        np.testing.assert_allclose(r["object_matching_rate_perc"], 50.0, atol=1e-3)
+        np.testing.assert_allclose(r["occlusion_robustness_perc"], 100.0, atol=1e-3)

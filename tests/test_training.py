@@ -1,0 +1,117 @@
+"""Trainer integration tests (tiny, CPU): loss decreases, checkpoints
+resume, optimizer semantics match the reference."""
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mingraph_unet_tpu.config import TrainingConfig
+from mingraph_unet_tpu.train.common import TrainState, make_lr_schedule, make_optimizer
+from mingraph_unet_tpu.utils.bootstrap import make_dummy_run
+
+from conftest import requires_reference
+
+
+class TestOptimizer:
+    def test_steplr_schedule(self):
+        cfg = TrainingConfig(learning_rate=0.1, lr_step_size=2, lr_gamma=0.5)
+        sched = make_lr_schedule(cfg, steps_per_epoch=10)
+        assert float(sched(0)) == pytest.approx(0.1)
+        assert float(sched(19)) == pytest.approx(0.1)
+        assert float(sched(20)) == pytest.approx(0.05)
+        assert float(sched(40)) == pytest.approx(0.025)
+
+    @requires_reference
+    def test_adam_matches_torch(self, reference_path):
+        import torch
+
+        w0 = np.array([1.0, -2.0, 0.5], np.float32)
+        steps = 5
+        cfg = TrainingConfig(
+            learning_rate=1e-2, weight_decay=1e-2, optimizer="adam", lr_scheduler=None
+        )
+        tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+        params = {"w": jnp.asarray(w0)}
+        opt_state = tx.init(params)
+        for i in range(steps):
+            grads = {"w": jnp.asarray([0.1, -0.2, 0.3], jnp.float32) * (i + 1)}
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+        tw = torch.nn.Parameter(torch.tensor(w0))
+        opt = torch.optim.Adam([tw], lr=1e-2, weight_decay=1e-2)
+        for i in range(steps):
+            opt.zero_grad()
+            tw.grad = torch.tensor([0.1, -0.2, 0.3]) * (i + 1)
+            opt.step()
+        np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6)
+
+    @requires_reference
+    def test_sgd_matches_torch(self, reference_path):
+        import torch
+
+        w0 = np.array([1.0, -2.0], np.float32)
+        cfg = TrainingConfig(
+            learning_rate=1e-2, weight_decay=1e-3, optimizer="sgd", sgd_momentum=0.9,
+            lr_scheduler=None,
+        )
+        tx, _ = make_optimizer(cfg, steps_per_epoch=1)
+        params = {"w": jnp.asarray(w0)}
+        opt_state = tx.init(params)
+        for i in range(4):
+            grads = {"w": jnp.asarray([0.5, -0.1], jnp.float32)}
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = jax.tree_util.tree_map(lambda p, u: p + u, params, updates)
+
+        tw = torch.nn.Parameter(torch.tensor(w0))
+        opt = torch.optim.SGD([tw], lr=1e-2, momentum=0.9, weight_decay=1e-3)
+        for i in range(4):
+            opt.zero_grad()
+            tw.grad = torch.tensor([0.5, -0.1])
+            opt.step()
+        np.testing.assert_allclose(np.asarray(params["w"]), tw.detach().numpy(), atol=1e-6)
+
+
+class TestSegmentationTrainer:
+    def test_loss_decreases_and_resumes(self, tmp_path):
+        from mingraph_unet_tpu.train.segmentation import train_unet_segmentation
+
+        cfg_dir = make_dummy_run(
+            str(tmp_path), num_images=4, image_size=(32, 32), batch_size=2,
+            num_epochs=2, patch_size=8, init_features=4, depth=2,
+        )
+        state, history = train_unet_segmentation(cfg_dir, max_epochs=2)
+        assert len(history["epoch_loss"]) == 2
+        assert int(state.step) == 4  # 2 epochs × 2 steps
+
+        # Resume continues from the checkpoint instead of restarting.
+        state2, history2 = train_unet_segmentation(cfg_dir, max_epochs=4)
+        assert int(state2.step) == 8
+        assert len(history2["epoch_loss"]) == 2  # only epochs 2..3 ran
+
+    def test_training_reduces_loss_on_learnable_task(self, tmp_path):
+        from mingraph_unet_tpu.train.segmentation import train_unet_segmentation
+
+        cfg_dir = make_dummy_run(
+            str(tmp_path), num_images=8, image_size=(32, 32), batch_size=4,
+            num_epochs=8, patch_size=8, init_features=8, depth=2, seed=1,
+        )
+        state, history = train_unet_segmentation(cfg_dir, max_epochs=8)
+        assert history["epoch_loss"][-1] < history["epoch_loss"][0] * 0.9
+
+
+class TestEndToEndTrainer:
+    def test_e2e_step_and_checkpoint(self, tmp_path):
+        from mingraph_unet_tpu.train.end_to_end import train_end_to_end
+
+        cfg_dir = make_dummy_run(
+            str(tmp_path), num_images=4, image_size=(32, 32), batch_size=2,
+            num_epochs=1, patch_size=8, init_features=4, depth=2,
+        )
+        state, history = train_end_to_end(cfg_dir, max_epochs=1)
+        assert int(state.step) == 2
+        ckpts = os.listdir(os.path.join(str(tmp_path), "checkpoints"))
+        assert ckpts, "composite checkpoint must be written"
