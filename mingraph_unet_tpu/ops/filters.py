@@ -110,13 +110,25 @@ def sobel_magnitude(rgb: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
     squeeze_batch = rgb.ndim == 3
     if squeeze_batch:
         rgb = rgb[None]
-    gray = rgb_to_gray(rgb.astype(jnp.float32))[..., None]  # N,H,W,1
-    kx, ky = sobel_kernels(ksize)
-    pad = ksize // 2
-    gray_p = _reflect101_pad2d(gray, pad)
-    gx = _depthwise_conv2d(gray_p, jnp.asarray(kx, jnp.float32))
-    gy = _depthwise_conv2d(gray_p, jnp.asarray(ky, jnp.float32))
-    mag = jnp.sqrt(gx * gx + gy * gy)[..., 0]  # N,H,W
+    gray = rgb_to_gray(rgb.astype(jnp.float32))  # N,H,W
+    if ksize == 3:
+        # Stencil formulation: a 1-channel conv starves the conv units (8.4 ms
+        # vs 0.9 ms for this form at 512²×8 on v5e); eight shifted views fuse
+        # into one VPU pass.
+        p = jnp.pad(gray, ((0, 0), (1, 1), (1, 1)), mode="reflect")
+        tl, t, tr = p[:, :-2, :-2], p[:, :-2, 1:-1], p[:, :-2, 2:]
+        l, r = p[:, 1:-1, :-2], p[:, 1:-1, 2:]
+        bl, b, br = p[:, 2:, :-2], p[:, 2:, 1:-1], p[:, 2:, 2:]
+        gx = (tr + 2.0 * r + br) - (tl + 2.0 * l + bl)
+        gy = (bl + 2.0 * b + br) - (tl + 2.0 * t + tr)
+        mag = jnp.sqrt(gx * gx + gy * gy)  # N,H,W
+    else:
+        kx, ky = sobel_kernels(ksize)
+        pad = ksize // 2
+        gray_p = _reflect101_pad2d(gray[..., None], pad)
+        gx = _depthwise_conv2d(gray_p, jnp.asarray(kx, jnp.float32))
+        gy = _depthwise_conv2d(gray_p, jnp.asarray(ky, jnp.float32))
+        mag = jnp.sqrt(gx * gx + gy * gy)[..., 0]  # N,H,W
     # cv2.normalize(..., 0, 255, NORM_MINMAX) per image.
     mn = jnp.min(mag, axis=(-2, -1), keepdims=True)
     mx = jnp.max(mag, axis=(-2, -1), keepdims=True)
@@ -190,15 +202,21 @@ def equalize_histogram_rgb(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     YUV→RGB. Constant offsets (128) on U/V follow OpenCV's 8-bit convention.
     """
     rgb = jnp.asarray(rgb_u8).astype(jnp.float32)
-    m = jnp.asarray(_RGB2YUV, jnp.float32)
-    yuv = jnp.einsum("hwc,kc->hwk", rgb, m)
-    yuv = yuv.at[..., 1:].add(128.0)
-    y_u8 = jnp.clip(jnp.round(yuv[..., 0]), 0, 255).astype(jnp.int32)
+    # Explicit channel arithmetic (not einsum): these 3×3 "matmuls" are
+    # elementwise fusions on the VPU; an einsum forces awkward layouts and
+    # costs ~3.6 ms at 512²×8 on v5e.
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    m = _RGB2YUV
+    y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b
+    u = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b
+    v = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b
+    y_u8 = jnp.clip(jnp.round(y), 0, 255).astype(jnp.int32)
     y_eq = _equalize_channel_u8(y_u8).astype(jnp.float32)
-    yuv_eq = jnp.concatenate([y_eq[..., None], yuv[..., 1:]], axis=-1)
-    yuv_eq = yuv_eq.at[..., 1:].add(-128.0)
-    minv = jnp.asarray(_YUV2RGB, jnp.float32)
-    rgb_eq = jnp.einsum("hwk,ck->hwc", yuv_eq, minv)
+    mi = _YUV2RGB
+    r2 = mi[0, 0] * y_eq + mi[0, 2] * v
+    g2 = mi[1, 0] * y_eq + mi[1, 1] * u + mi[1, 2] * v
+    b2 = mi[2, 0] * y_eq + mi[2, 1] * u
+    rgb_eq = jnp.stack([r2, g2, b2], axis=-1)
     return jnp.clip(jnp.round(rgb_eq), 0, 255).astype(jnp.uint8)
 
 
