@@ -98,12 +98,16 @@ class MangoDataset:
         image_size: Tuple[int, int] = (128, 128),
         num_classes: int = 2,
         strict: bool = True,
+        use_native: bool = False,
+        native_threads: int = 4,
     ):
         self.image_dir = image_dir
         self.mask_dir = mask_dir
         self.image_size = tuple(image_size)
         self.num_classes = num_classes
         self.strict = strict
+        self.use_native = use_native
+        self.native_threads = native_threads
 
         self.image_paths: List[str] = sorted(
             p for ext in self.IMAGE_EXTS for p in glob.glob(os.path.join(image_dir, ext))
@@ -190,8 +194,36 @@ class BatchLoader:
         limit = n_full * self.batch_size if self.drop_last else len(self.dataset)
         for start in range(0, limit, self.batch_size):
             idxs = order[start : start + self.batch_size]
-            imgs, masks = zip(*(self.dataset[int(i)] for i in idxs))
-            yield np.stack(imgs), np.stack(masks)
+            batch = self._load_native(idxs) if self.dataset.use_native else None
+            if batch is not None:
+                yield batch
+            else:
+                imgs, masks = zip(*(self.dataset[int(i)] for i in idxs))
+                yield np.stack(imgs), np.stack(masks)
+
+    def _load_native(self, idxs) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+        """Batch decode through the C++ thread-pool loader (PNG only);
+        returns None to fall back to the per-item cv2 path."""
+        ds = self.dataset
+        img_paths = [ds.image_paths[int(i)] for i in idxs]
+        if not all(p.lower().endswith(".png") for p in img_paths):
+            return None
+        from mingraph_unet_tpu.data import native_loader
+
+        mask_paths = (
+            [ds.mask_paths[int(i)] for i in idxs] if ds.mask_paths is not None else None
+        )
+        out = native_loader.load_batch(
+            img_paths, mask_paths, ds.image_size, threads=ds.native_threads
+        )
+        if out is None:
+            return None
+        imgs, masks = out
+        if masks is None:
+            masks_i = np.zeros((len(img_paths), *ds.image_size), np.int32)
+        else:
+            masks_i = np.clip(masks, 0, ds.num_classes - 1).astype(np.int32)
+        return imgs, masks_i
 
 
 def device_preprocess_batch(
