@@ -188,6 +188,8 @@ def train_end_to_end(
 ) -> Tuple[TrainState, Dict[str, Any]]:
     cfg = PipelineConfig.from_config_dir(config_dir)
     train_cfg = cfg.training
+    if train_cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     ds_cfg = cfg.dataset
     data_root = data_root_override or ds_cfg.data_root
 

@@ -99,6 +99,8 @@ def train_unet_segmentation(
     """Full training entry point (config dir → trained state + history)."""
     cfg = PipelineConfig.from_config_dir(config_dir)
     train_cfg = cfg.training
+    if train_cfg.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     ds_cfg = cfg.dataset
     data_root = data_root_override or ds_cfg.data_root
 
