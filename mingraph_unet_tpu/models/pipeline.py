@@ -108,8 +108,16 @@ class MinGraphUNet(nn.Module):
         unet_patch = nn.Dense(
             self.unet_patch_feature_dim, dtype=self.dtype, name="patch_feature_proj"
         )(unet_patch)
+        # Sobel / hist-eq aux features operate on the first 3 bands; extra
+        # spectral bands (multi-spectral scenes, BASELINE config 5) still flow
+        # through the U-Net and the pooled-feature projection above.
+        c_in = images.shape[-1]
+        if c_in < 3:
+            raise ValueError("MinGraphUNet expects >= 3 input bands")
+        mean3 = tuple(self.normalization_mean)[:3] if len(self.normalization_mean) >= 3 else self.normalization_mean
+        std3 = tuple(self.normalization_std)[:3] if len(self.normalization_std) >= 3 else self.normalization_std
         rgb255 = jnp.clip(
-            denormalize(images.astype(jnp.float32), self.normalization_mean, self.normalization_std),
+            denormalize(images[..., :3].astype(jnp.float32), mean3, std3),
             0.0,
             1.0,
         ) * 255.0
@@ -183,8 +191,12 @@ class MinGraphUNet(nn.Module):
         f_g_patch = gather_rows(region_embeds, flat_labels).reshape(b, nph, npw, -1)
         f_g_pixel = broadcast_patch_to_pixels(f_g_patch, self.patch_size)  # (B, H, W, Dg)
 
-        # === Stage 6: fusion ===
-        fused = fuse_features([f_u[0].astype(jnp.float32)], f_g_pixel, target_spatial_size=(h, w))
+        # === Stage 6: fusion === (kept in the compute dtype: the fused map is
+        # the largest activation in the pipeline — f32 here doubles the HBM
+        # traffic the detection head reads)
+        fused = fuse_features(
+            [f_u[0].astype(self.dtype)], f_g_pixel.astype(self.dtype), target_spatial_size=(h, w)
+        )
 
         # === Stage 7: detection ===
         det = DetectionHead(

@@ -29,7 +29,7 @@ from mingraph_unet_tpu.ops.image import normalize
 from mingraph_unet_tpu.train.checkpoint import CheckpointManager
 from mingraph_unet_tpu.train.segmentation import build_unet
 
-__all__ = ["postprocess_segmentation", "load_variables", "infer_segmentation"]
+__all__ = ["postprocess_segmentation", "load_variables", "infer_segmentation", "infer_segmentation_large"]
 
 
 def class_palette(num_classes: int) -> np.ndarray:
@@ -67,6 +67,51 @@ def load_variables(weights_path: str, abstract: Optional[Dict[str, Any]] = None)
     if "params" in restored:  # bare variables dict
         return {k: v for k, v in restored.items() if k in ("params", "batch_stats")}
     raise ValueError(f"Unrecognized checkpoint layout with keys {list(restored)}")
+
+
+def infer_segmentation_large(
+    config_dir: str,
+    image_path: str,
+    weights_path: str,
+    output_dir: str = "outputs/inference",
+    tile: int = 512,
+    halo: int = 64,
+) -> Dict[str, Any]:
+    """Large-scene inference (BASELINE config 4): the scene is processed at
+    its native resolution by overlapping ``tile``-sized windows with
+    border-flush halos, stitched back exactly (``parallel/spatial.py``)."""
+    import cv2
+
+    from mingraph_unet_tpu.parallel.spatial import tiled_inference
+
+    cfg = PipelineConfig.from_config_dir(config_dir)
+    model = build_unet(cfg)
+    variables = load_variables(weights_path)
+
+    img = load_image_rgb(image_path)
+    x = normalize(jnp.asarray(img, jnp.float32) / 255.0,
+                  cfg.preprocessing.normalization_mean,
+                  cfg.preprocessing.normalization_std)[None]
+
+    def apply_fn(tiles):
+        logits, _, _ = model.apply(variables, tiles, train=False)
+        return logits
+
+    h, w = img.shape[:2]
+    if h < tile + 2 * halo or w < tile + 2 * halo:
+        logits = jax.jit(apply_fn)(x)
+    else:
+        logits = jax.jit(lambda s: tiled_inference(apply_fn, s, tile=tile, halo=halo))(x)
+    labels, vis = postprocess_segmentation(np.asarray(logits), cfg.model.unet.out_channels)
+
+    os.makedirs(output_dir, exist_ok=True)
+    stem = os.path.splitext(os.path.basename(image_path))[0]
+    label_path = os.path.join(output_dir, f"{stem}_scene_labels.png")
+    vis_path = os.path.join(output_dir, f"{stem}_scene_visualization.png")
+    cv2.imwrite(label_path, labels.astype(np.uint8))
+    cv2.imwrite(vis_path, vis)
+    print(f"[infer] wrote {label_path} and {vis_path} ({h}x{w} scene)")
+    return {"labels": labels, "visualization": vis, "label_path": label_path, "vis_path": vis_path}
 
 
 def infer_segmentation(

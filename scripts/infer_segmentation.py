@@ -20,6 +20,10 @@ def main():
     parser.add_argument("--image_path", type=str, default=None)
     parser.add_argument("--weights_path", type=str, default=None)
     parser.add_argument("--output_dir", type=str, default="outputs/inference")
+    parser.add_argument("--large_scene", action="store_true",
+                        help="Tiled native-resolution inference for big scenes")
+    parser.add_argument("--tile", type=int, default=512)
+    parser.add_argument("--halo", type=int, default=64)
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
@@ -28,12 +32,16 @@ def main():
     self_smoke = args.config_path is None
     setup_host(force_cpu=args.cpu or self_smoke)
 
-    from mingraph_unet_tpu.train.infer import infer_segmentation
+    from mingraph_unet_tpu.train.infer import infer_segmentation, infer_segmentation_large
 
     if not self_smoke:
         if not (args.image_path and args.weights_path):
             parser.error("--image_path and --weights_path are required with --config_path")
-        infer_segmentation(args.config_path, args.image_path, args.weights_path, args.output_dir)
+        if args.large_scene:
+            infer_segmentation_large(args.config_path, args.image_path, args.weights_path,
+                                     args.output_dir, tile=args.tile, halo=args.halo)
+        else:
+            infer_segmentation(args.config_path, args.image_path, args.weights_path, args.output_dir)
         return
 
     import glob

@@ -92,6 +92,18 @@ class TestMinGraphUNet:
         with pytest.raises(ValueError):
             jax.eval_shape(model.init, jax.random.key(0), jnp.zeros((1, 33, 33, 3)))
 
+    def test_multispectral_6band(self):
+        # BASELINE config 5: multi-band scenes; aux features use bands 0-2,
+        # all bands feed the U-Net.
+        model = tiny_model(
+            normalization_mean=(0.4,) * 6, normalization_std=(0.2,) * 6
+        )
+        x = jnp.asarray(np.random.default_rng(2).random((1, 32, 32, 6)), jnp.float32)
+        variables = jax.jit(model.init)(jax.random.key(0), x)
+        out = model.apply(variables, x)
+        assert out["logits"].shape == (1, 32, 32, 2)
+        assert out["patch_feats"].shape == (1, 4, 4, 6 + 1 + 3)
+
     def test_multiclass_detection(self):
         model = tiny_model(num_detection_classes=3)
         x = jnp.zeros((1, 32, 32, 3))
