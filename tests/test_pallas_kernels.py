@@ -8,6 +8,54 @@ from mingraph_unet_tpu.ops.filters import _equalize_channel_u8
 from mingraph_unet_tpu.ops.pallas.histeq import equalize_channel_pallas
 
 
+class TestFusedConvBlock:
+    """Interpret-mode exactness of the experimental fused ConvBlock kernel
+    vs the XLA reference (conv→scale/shift→ReLU ×2, 'SAME' borders)."""
+
+    def _params(self, rng, cin, c):
+        w1 = jnp.asarray(rng.standard_normal((3, 3, cin, c)) * 0.2, jnp.float32)
+        w2 = jnp.asarray(rng.standard_normal((3, 3, c, c)) * 0.2, jnp.float32)
+        s1 = jnp.asarray(rng.random(c) + 0.5, jnp.float32)
+        b1 = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+        s2 = jnp.asarray(rng.random(c) + 0.5, jnp.float32)
+        b2 = jnp.asarray(rng.standard_normal(c) * 0.1, jnp.float32)
+        return w1, s1, b1, w2, s2, b2
+
+    @pytest.mark.parametrize(
+        "shape", [(1, 8, 8, 1, 1), (2, 32, 32, 3, 32), (1, 128, 16, 8, 16)]
+    )
+    def test_matches_reference(self, shape):
+        from mingraph_unet_tpu.ops.pallas.conv_block import (
+            conv_block_reference,
+            fused_conv_block,
+        )
+
+        b, h, w, cin, c = shape
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+        w1, s1, b1, w2, s2, b2 = self._params(rng, cin, c)
+        ref = conv_block_reference(x, w1, s1, b1, w2, s2, b2)
+        with jax.default_matmul_precision("highest"):
+            ours = fused_conv_block(x, w1, s1, b1, w2, s2, b2, interpret=True)
+        np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=5e-5)
+
+    def test_fold_bn(self):
+        from mingraph_unet_tpu.ops.pallas.conv_block import fold_bn
+
+        c = 4
+        rng = np.random.default_rng(1)
+        bias = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        gamma = jnp.asarray(rng.random(c) + 0.5, jnp.float32)
+        beta = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        mean = jnp.asarray(rng.standard_normal(c), jnp.float32)
+        var = jnp.asarray(rng.random(c) + 0.1, jnp.float32)
+        s, b = fold_bn(bias, gamma, beta, mean, var)
+        x = jnp.asarray(rng.standard_normal((10, c)), jnp.float32)
+        folded = x * s + b
+        bn = (x + bias - mean) / jnp.sqrt(var + 1e-5) * gamma + beta
+        np.testing.assert_allclose(np.asarray(folded), np.asarray(bn), atol=1e-5)
+
+
 class TestHisteqKernel:
     def test_matches_jnp_reference(self):
         y = jnp.asarray(np.random.default_rng(0).integers(0, 256, (2, 64, 64)), jnp.int32)
