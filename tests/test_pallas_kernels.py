@@ -1,6 +1,7 @@
 """Pallas kernel correctness (interpreter mode on CPU)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
