@@ -46,9 +46,18 @@ class CheckpointManager:
         step = self._mngr.latest_step()
         if step is None:
             return None
-        if abstract_state is not None:
-            return self._mngr.restore(step, args=ocp.args.StandardRestore(abstract_state))
-        return self._mngr.restore(step)
+        if abstract_state is None:
+            # Build an abstract target from the stored metadata so Orbax
+            # restores with known shapes/dtypes (avoids its "UNSAFE" untyped
+            # restore path and the associated warnings).
+            try:
+                meta = self._mngr.item_metadata(step).tree
+                abstract_state = jax.tree_util.tree_map(
+                    lambda m: jax.ShapeDtypeStruct(m.shape, m.dtype), meta
+                )
+            except Exception:
+                return self._mngr.restore(step)
+        return self._mngr.restore(step, args=ocp.args.StandardRestore(abstract_state))
 
     def wait(self) -> None:
         self._mngr.wait_until_finished()

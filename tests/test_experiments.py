@@ -1,0 +1,80 @@
+"""Evaluation-harness integration tests (tiny models, CPU)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from mingraph_unet_tpu.experiments.ablation_study import ABLATION_VARIANTS, run_ablation_study
+from mingraph_unet_tpu.experiments.yield_estimation_performance import (
+    DummyYieldDataset,
+    MockDetector,
+    evaluate_yield_model,
+)
+from mingraph_unet_tpu.utils.bootstrap import make_dummy_run
+
+
+class TestYieldHarness:
+    def test_dummy_dataset_schema(self):
+        ds = DummyYieldDataset(num_images=3, seed=1)
+        img, count, objects = ds[0]
+        assert img.shape == (128, 128, 3)
+        assert count == len(objects)
+        assert {"bbox", "class_id", "occluded"} <= set(objects[0])
+
+    def test_mock_detector_schema(self):
+        dets = MockDetector(seed=2)(np.zeros((64, 64, 3), np.uint8))
+        for d in dets:
+            assert {"bbox", "class_id", "confidence"} <= set(d)
+
+    def test_mock_evaluation_runs(self, capsys):
+        res = evaluate_yield_model(model_type="mock", num_images=4, seed=0)
+        assert "count_accuracy_perc" in res
+        assert "Yield Estimation Performance" in capsys.readouterr().out
+
+
+class TestAblation:
+    def test_variants_table(self):
+        assert "Combined (Full Method)" in ABLATION_VARIANTS
+
+    def test_mock_study_labeled(self, capsys):
+        rows = run_ablation_study(allow_mock=True)
+        assert len(rows) == 5
+        assert all(r["mocked"] for r in rows)
+        assert "Table-3" in capsys.readouterr().out
+
+    def test_no_mock_raises_cleanly(self):
+        from mingraph_unet_tpu.experiments.ablation_study import run_ablation_experiment
+
+        with pytest.raises(FileNotFoundError):
+            run_ablation_experiment("Min-Cut Only", None, None, allow_mock=False)
+
+
+class TestSegmentationPerformance:
+    def test_eval_after_training(self, tmp_path, capsys):
+        from mingraph_unet_tpu.experiments.segmentation_performance import (
+            evaluate_segmentation_model,
+        )
+        from mingraph_unet_tpu.train.segmentation import train_unet_segmentation
+
+        cfg_dir = make_dummy_run(
+            str(tmp_path), num_images=4, image_size=(32, 32), batch_size=2,
+            num_epochs=1, patch_size=8, init_features=4, depth=2,
+        )
+        train_unet_segmentation(cfg_dir, max_epochs=1)
+        res = evaluate_segmentation_model(
+            cfg_dir, os.path.join(str(tmp_path), "checkpoints"), "unet", batch_size=2
+        )
+        assert 0.0 <= res["mean_iou"] <= 1.0
+        out = capsys.readouterr().out
+        assert "Segmentation Performance" in out
+        assert "falling back" in out  # test/val missing → train fallback
+
+    def test_unknown_model_type(self, tmp_path):
+        from mingraph_unet_tpu.experiments.segmentation_performance import (
+            evaluate_segmentation_model,
+        )
+
+        cfg_dir = make_dummy_run(str(tmp_path), num_images=2, image_size=(32, 32))
+        with pytest.raises(NotImplementedError):
+            evaluate_segmentation_model(cfg_dir, "nope", "yolo")
