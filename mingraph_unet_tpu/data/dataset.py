@@ -201,6 +201,42 @@ class BatchLoader:
                 imgs, masks = zip(*(self.dataset[int(i)] for i in idxs))
                 yield np.stack(imgs), np.stack(masks)
 
+    def prefetch_epoch(
+        self, epoch_idx: int = 0, prefetch: int = 2
+    ) -> Iterator[Tuple[np.ndarray, np.ndarray]]:
+        """Like :meth:`epoch` but decodes ahead on a background thread.
+
+        Keeps up to ``prefetch`` batches in flight so host decode overlaps
+        device compute (the role of the reference's DataLoader worker
+        subprocesses, without pickling overhead).
+        """
+        import queue
+        import threading
+
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+        sentinel = object()
+        error: list = []
+
+        def producer():
+            try:
+                for batch in self.epoch(epoch_idx):
+                    q.put(batch)
+            except BaseException as e:  # surfaced on the consumer side
+                error.append(e)
+            finally:
+                q.put(sentinel)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is sentinel:
+                break
+            yield item
+        t.join()
+        if error:
+            raise error[0]
+
     def _load_native(self, idxs) -> Optional[Tuple[np.ndarray, np.ndarray]]:
         """Batch decode through the C++ thread-pool loader (PNG only);
         returns None to fall back to the per-item cv2 path."""

@@ -239,7 +239,14 @@ def train_end_to_end(
         for epoch in range(start_epoch, num_epochs):
             running: Dict[str, float] = {}
             n_steps = 0
-            for imgs_np, masks_np in loader.epoch(epoch):
+            # num_workers > 0 enables background-thread prefetch (the
+            # reference's DataLoader-workers role).
+            epoch_iter = (
+                loader.prefetch_epoch(epoch, prefetch=train_cfg.num_workers)
+                if train_cfg.num_workers > 0
+                else loader.epoch(epoch)
+            )
+            for imgs_np, masks_np in epoch_iter:
                 if n_steps >= steps_per_epoch:
                     break
                 loop_key, step_key = jax.random.split(loop_key)

@@ -152,7 +152,14 @@ def train_unet_segmentation(
         for epoch in range(start_epoch, num_epochs):
             running = {"loss": 0.0, "ce": 0.0, "dice": 0.0}
             n_steps = 0
-            for imgs_np, masks_np in loader.epoch(epoch):
+            # num_workers > 0 enables background-thread prefetch (the
+            # reference's DataLoader-workers role).
+            epoch_iter = (
+                loader.prefetch_epoch(epoch, prefetch=train_cfg.num_workers)
+                if train_cfg.num_workers > 0
+                else loader.epoch(epoch)
+            )
+            for imgs_np, masks_np in epoch_iter:
                 if n_steps >= steps_per_epoch:
                     break
                 loop_key, step_key = jax.random.split(loop_key)
