@@ -107,3 +107,33 @@ class TestSpatialSharding:
             whole = conv(scene)
             sharded = spatial_sharded_apply(conv, scene, mesh)
         np.testing.assert_allclose(np.asarray(sharded), np.asarray(whole), atol=1e-5)
+
+
+class TestManualHaloExchange:
+    def test_sharded_conv_matches_unsharded(self):
+        from mingraph_unet_tpu.parallel.halo import sharded_conv2d_same
+
+        mesh = make_mesh(1, 4)
+        rng_ = np.random.default_rng(11)
+        x = jnp.asarray(rng_.random((2, 32, 16, 3)), jnp.float32)
+        k = jnp.asarray(rng_.random((3, 3, 3, 5)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        with jax.default_matmul_precision("highest"):
+            out = sharded_conv2d_same(x, k, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_5x5_kernel(self):
+        from mingraph_unet_tpu.parallel.halo import sharded_conv2d_same
+
+        mesh = make_mesh(1, 2)
+        rng_ = np.random.default_rng(12)
+        x = jnp.asarray(rng_.random((1, 16, 8, 2)), jnp.float32)
+        k = jnp.asarray(rng_.random((5, 5, 2, 4)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        with jax.default_matmul_precision("highest"):
+            out = sharded_conv2d_same(x, k, mesh)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
