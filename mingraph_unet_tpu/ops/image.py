@@ -211,6 +211,52 @@ def random_rotation(
     return img_out, mask_out
 
 
+def random_resized_crop(
+    key: jax.Array,
+    img: jnp.ndarray,
+    mask: Optional[jnp.ndarray] = None,
+    prob: float = 0.5,
+    scale: Tuple[float, float] = (0.8, 1.0),
+    ratio: Tuple[float, float] = (0.75, 4.0 / 3.0),
+):
+    """Synced RandomResizedCrop (area-scale + aspect-ratio jitter, resampled
+    back to the input size).
+
+    The reference *configures* a crop probability
+    (``configs/preprocessing.yaml`` ``random_crop_prob``) and sketches
+    ``RandomResizedCrop`` in a comment (``image_preprocess.py:40, 48``) but
+    never applies it; this implements the op for real — image bilinear, mask
+    nearest, same crop window for both — expressed as affine resampling so
+    shapes stay static under jit.
+    """
+    k_apply, k_area, k_ratio, k_y, k_x = jax.random.split(key, 5)
+    h, w = img.shape[:2]
+    apply = jax.random.bernoulli(k_apply, prob)
+    area_frac = jax.random.uniform(k_area, (), minval=scale[0], maxval=scale[1])
+    log_ratio = jax.random.uniform(
+        k_ratio, (), minval=jnp.log(ratio[0]), maxval=jnp.log(ratio[1])
+    )
+    aspect = jnp.exp(log_ratio)
+    crop_h = jnp.clip(jnp.sqrt(area_frac / aspect) * h, 1.0, h)
+    crop_w = jnp.clip(jnp.sqrt(area_frac * aspect) * w, 1.0, w)
+    y0 = jax.random.uniform(k_y, (), minval=0.0, maxval=1.0) * (h - crop_h)
+    x0 = jax.random.uniform(k_x, (), minval=0.0, maxval=1.0) * (w - crop_w)
+    # Identity window when not applied.
+    crop_h = jnp.where(apply, crop_h, float(h))
+    crop_w = jnp.where(apply, crop_w, float(w))
+    y0 = jnp.where(apply, y0, 0.0)
+    x0 = jnp.where(apply, x0, 0.0)
+
+    ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * crop_h + y0 - 0.5
+    xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * crop_w + x0 - 0.5
+    src_y, src_x = jnp.meshgrid(ys, xs, indexing="ij")
+    img_out = _bilinear_sample(img, src_y, src_x)
+    if mask is None:
+        return img_out
+    mask_out = _nearest_sample(mask, src_y, src_x)
+    return img_out, mask_out
+
+
 def augment_pair(
     key: jax.Array,
     img: jnp.ndarray,

@@ -63,6 +63,23 @@ class TestAugment:
         _, m2 = image.random_rotation(jax.random.key(3), img, mask, degrees=15.0)
         assert set(np.unique(np.asarray(m2))).issubset({0, 1, 2})
 
+    def test_random_resized_crop_identity_when_off(self):
+        img = jnp.asarray(rng(11).random((16, 16, 3)), jnp.float32)
+        mask = jnp.asarray(rng(11).integers(0, 2, (16, 16)), jnp.int32)
+        i2, m2 = image.random_resized_crop(jax.random.key(0), img, mask, prob=0.0)
+        np.testing.assert_allclose(np.asarray(i2), np.asarray(img), atol=1e-5)
+        np.testing.assert_array_equal(np.asarray(m2), np.asarray(mask))
+
+    def test_random_resized_crop_synced_and_valid(self):
+        img = jnp.asarray(rng(12).random((32, 32, 3)), jnp.float32)
+        mask = (img[..., 0] > 0.5).astype(jnp.int32)
+        i2, m2 = image.random_resized_crop(jax.random.key(5), img, mask, prob=1.0)
+        assert i2.shape == img.shape and m2.shape == mask.shape
+        # Mask stays binary and roughly tracks the image threshold (synced).
+        assert set(np.unique(np.asarray(m2))).issubset({0, 1})
+        agree = ((np.asarray(i2)[..., 0] > 0.5) == np.asarray(m2)).mean()
+        assert agree > 0.8
+
     def test_augment_pair_jits(self):
         f = jax.jit(lambda k, i, m: image.augment_pair(k, i, m))
         img = jnp.asarray(rng().random((16, 16, 3)), jnp.float32)
