@@ -39,7 +39,10 @@ def main():
         @jax.jit
         def loop(x):
             def body(c, _):
-                return c + 1 + jnp.asarray(fn(x + c * 0)).sum().astype(jnp.float32) * 0, None
+                # c*1e-12 keeps the input loop-variant so XLA cannot hoist the
+                # input-dependent preprocessing out of the scan (x + c*0 folds
+                # to x and under-measures by ~20%).
+                return c + 1 + jnp.asarray(fn(x + c * 1e-12)).sum().astype(jnp.float32) * 0, None
 
             c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
             return c
