@@ -165,6 +165,9 @@ class UNetConfig:
     init_features: int = 32
     depth: int = 4
     use_batchnorm: bool = True
+    # Rematerialize ConvBlocks in the backward pass (jax.checkpoint): trades
+    # FLOPs for HBM at large training resolutions. TPU-native addition.
+    remat: bool = False
 
     def validate(self) -> None:
         if self.depth < 1:

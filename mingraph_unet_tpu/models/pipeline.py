@@ -61,6 +61,7 @@ class MinGraphUNet(nn.Module):
     init_features: int = 32
     depth: int = 4
     use_batchnorm: bool = True
+    remat: bool = False
     # Graph construction
     patch_size: int = 16
     unet_patch_feature_dim: int = 16
@@ -100,6 +101,7 @@ class MinGraphUNet(nn.Module):
             depth=self.depth,
             use_batchnorm=self.use_batchnorm,
             dtype=self.dtype,
+            remat=self.remat,
             name="unet",
         )(images, train=train)
 

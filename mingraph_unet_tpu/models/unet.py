@@ -69,6 +69,16 @@ class ConvBlock(nn.Module):
         return x
 
 
+def _conv_block_cls(remat: bool):
+    """ConvBlock, optionally rematerialized: with ``remat=True`` the block's
+    activations are recomputed in the backward pass (``jax.checkpoint``),
+    trading FLOPs for HBM — the standard TPU recipe for large-resolution
+    training where level-0/1 activations dominate memory."""
+    if not remat:
+        return ConvBlock
+    return nn.remat(ConvBlock, static_argnums=(2,))
+
+
 class UNetEncoder(nn.Module):
     """Downsampling path: ``depth`` ConvBlock+MaxPool stages + bottleneck."""
 
@@ -76,17 +86,19 @@ class UNetEncoder(nn.Module):
     depth: int = 4
     use_batchnorm: bool = True
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+        block_cls = _conv_block_cls(self.remat)
         skips: List[jnp.ndarray] = []
         features = self.init_features
         for i in range(self.depth):
-            x = ConvBlock(features, self.use_batchnorm, self.dtype, name=f"block{i}")(x, train)
+            x = block_cls(features, self.use_batchnorm, self.dtype, name=f"block{i}")(x, train)
             skips.append(x)
             x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
             features *= 2
-        bottleneck = ConvBlock(features, self.use_batchnorm, self.dtype, name="bottleneck")(x, train)
+        bottleneck = block_cls(features, self.use_batchnorm, self.dtype, name="bottleneck")(x, train)
         return skips, bottleneck
 
 
@@ -98,6 +110,7 @@ class DecoderBlock(nn.Module):
     up_features: int  # channels after upsample == in_channels_prev // 2
     use_batchnorm: bool = True
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x_prev: jnp.ndarray, x_skip: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -119,7 +132,8 @@ class DecoderBlock(nn.Module):
                 ((0, 0), (dh // 2, dh - dh // 2), (dw // 2, dw - dw // 2), (0, 0)),
             )
         x = jnp.concatenate([x_skip, x_up], axis=-1)
-        return ConvBlock(self.out_features, self.use_batchnorm, self.dtype, name="conv_block")(x, train)
+        block_cls = _conv_block_cls(self.remat)
+        return block_cls(self.out_features, self.use_batchnorm, self.dtype, name="conv_block")(x, train)
 
 
 class UNetDecoder(nn.Module):
@@ -130,6 +144,7 @@ class UNetDecoder(nn.Module):
     depth: int = 4
     use_batchnorm: bool = True
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(
@@ -145,6 +160,7 @@ class UNetDecoder(nn.Module):
                 up_features=prev_channels // 2,
                 use_batchnorm=self.use_batchnorm,
                 dtype=self.dtype,
+                remat=self.remat,
                 name=f"block{j}",
             )(x, skips[i], train)
             feats_deep_to_shallow.append(x)
@@ -165,14 +181,16 @@ class UNet(nn.Module):
     depth: int = 4
     use_batchnorm: bool = True
     dtype: Dtype = jnp.float32
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         x = x.astype(self.dtype)
         skips, bottleneck = UNetEncoder(
-            self.init_features, self.depth, self.use_batchnorm, self.dtype, name="encoder"
+            self.init_features, self.depth, self.use_batchnorm, self.dtype, self.remat, name="encoder"
         )(x, train)
         logits, f_u = UNetDecoder(
-            self.num_classes, self.init_features, self.depth, self.use_batchnorm, self.dtype, name="decoder"
+            self.num_classes, self.init_features, self.depth, self.use_batchnorm, self.dtype,
+            self.remat, name="decoder"
         )(skips, bottleneck, train)
         return logits, skips, f_u

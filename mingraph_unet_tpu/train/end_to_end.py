@@ -59,6 +59,7 @@ def build_mingraph_unet(cfg: PipelineConfig, dtype=None) -> MinGraphUNet:
         init_features=m.unet.init_features,
         depth=m.unet.depth,
         use_batchnorm=m.unet.use_batchnorm,
+        remat=m.unet.remat,
         patch_size=m.graph_construction.patch_size,
         unet_patch_feature_dim=m.graph_construction.unet_patch_feature_dim,
         sobel_kernel_size=cfg.preprocessing.sobel_kernel_size,

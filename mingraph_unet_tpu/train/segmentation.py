@@ -43,6 +43,7 @@ def build_unet(cfg: PipelineConfig, dtype=None) -> UNet:
         init_features=u.init_features,
         depth=u.depth,
         use_batchnorm=u.use_batchnorm,
+        remat=u.remat,
         dtype=dtype if dtype is not None else (jnp.bfloat16 if cfg.training.bf16 else jnp.float32),
     )
 
