@@ -235,6 +235,7 @@ def train_end_to_end(
     num_epochs = max_epochs if max_epochs is not None else train_cfg.num_epochs
     logger = MetricsLogger(train_cfg.log_dir, "train_end_to_end", train_cfg.log_interval)
     history = {"epoch_loss": []}
+    global_step = start_epoch * steps_per_epoch
 
     with mesh:
         for epoch in range(start_epoch, num_epochs):
@@ -255,12 +256,16 @@ def train_end_to_end(
                 masks = shard_batch(jnp.asarray(masks_np), mesh)
                 state, aux = jit_step(state, imgs, masks, step_key)
                 n_steps += 1
-                for k, v in aux.items():
+                global_step += 1
+                # One device→host transfer for all metrics (per-scalar
+                # float() costs a relay round trip each).
+                aux_np = jax.device_get(aux)
+                for k, v in aux_np.items():
                     running[k] = running.get(k, 0.0) + float(v)
                 logger.log(
-                    int(state.step),
-                    {**{k: float(v) for k, v in aux.items()},
-                     "lr": float(schedule(int(state.step))), "epoch": epoch},
+                    global_step,
+                    {**{k: float(v) for k, v in aux_np.items()},
+                     "lr": float(schedule(global_step)), "epoch": epoch},
                 )
             epoch_loss = running.get("total", 0.0) / max(1, n_steps)
             history["epoch_loss"].append(epoch_loss)

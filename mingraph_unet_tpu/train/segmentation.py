@@ -148,6 +148,7 @@ def train_unet_segmentation(
     num_epochs = max_epochs if max_epochs is not None else train_cfg.num_epochs
     logger = MetricsLogger(train_cfg.log_dir, "train_segmentation", train_cfg.log_interval)
     history = {"epoch_loss": []}
+    global_step = start_epoch * steps_per_epoch
 
     with mesh:
         for epoch in range(start_epoch, num_epochs):
@@ -168,11 +169,15 @@ def train_unet_segmentation(
                 masks = shard_batch(jnp.asarray(masks_np), mesh)
                 state, metrics = jit_step(state, imgs, masks, step_key)
                 n_steps += 1
+                global_step += 1
+                # One device→host transfer for all metrics (per-scalar
+                # float() costs a relay round trip each).
+                metrics_np = jax.device_get(metrics)
                 for k in running:
-                    running[k] += float(metrics[k])
-                logger.log(int(state.step), {**{k: float(metrics[k]) for k in metrics},
-                                             "lr": float(schedule(int(state.step))),
-                                             "epoch": epoch})
+                    running[k] += float(metrics_np[k])
+                logger.log(global_step, {**{k: float(v) for k, v in metrics_np.items()},
+                                         "lr": float(schedule(global_step)),
+                                         "epoch": epoch})
             epoch_loss = running["loss"] / max(1, n_steps)
             history["epoch_loss"].append(epoch_loss)
             print(f"[train] epoch {epoch + 1}/{num_epochs} avg_loss={epoch_loss:.4f}")
