@@ -239,6 +239,9 @@ def train_end_to_end(
 
     with mesh:
         for epoch in range(start_epoch, num_epochs):
+            # StepLR only changes at epoch granularity; evaluating the
+            # optax schedule is an eager device round trip, so cache it.
+            epoch_lr = float(schedule(epoch * steps_per_epoch))
             running: Dict[str, float] = {}
             n_steps = 0
             # num_workers > 0 enables background-thread prefetch (the
@@ -265,7 +268,7 @@ def train_end_to_end(
                 logger.log(
                     global_step,
                     {**{k: float(v) for k, v in aux_np.items()},
-                     "lr": float(schedule(global_step)), "epoch": epoch},
+                     "lr": epoch_lr, "epoch": epoch},
                 )
             epoch_loss = running.get("total", 0.0) / max(1, n_steps)
             history["epoch_loss"].append(epoch_loss)

@@ -152,6 +152,9 @@ def train_unet_segmentation(
 
     with mesh:
         for epoch in range(start_epoch, num_epochs):
+            # StepLR only changes at epoch granularity; evaluating the
+            # optax schedule is an eager device round trip, so cache it.
+            epoch_lr = float(schedule(epoch * steps_per_epoch))
             running = {"loss": 0.0, "ce": 0.0, "dice": 0.0}
             n_steps = 0
             # num_workers > 0 enables background-thread prefetch (the
@@ -176,7 +179,7 @@ def train_unet_segmentation(
                 for k in running:
                     running[k] += float(metrics_np[k])
                 logger.log(global_step, {**{k: float(v) for k, v in metrics_np.items()},
-                                         "lr": float(schedule(global_step)),
+                                         "lr": epoch_lr,
                                          "epoch": epoch})
             epoch_loss = running["loss"] / max(1, n_steps)
             history["epoch_loss"].append(epoch_loss)
