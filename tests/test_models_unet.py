@@ -113,6 +113,39 @@ class TestTorchParity:
                 np.asarray(ours).transpose(0, 3, 1, 2), theirs.numpy(), atol=2e-4, rtol=1e-4
             )
 
+    def test_miou_parity_with_reference(self, reference_path):
+        """The BASELINE headline claim: same weights → identical predicted
+        label maps → identical mIoU between this framework's U-Net and the
+        PyTorch reference."""
+        import torch
+        from model.unet.unet_model import UNet as TorchUNet
+
+        from torch_bridge import copy_unet
+        from mingraph_unet_tpu.experiments.metrics import segmentation_metrics
+
+        depth, feats = 2, 8
+        model = UNet(num_classes=2, init_features=feats, depth=depth)
+        rng = np.random.default_rng(42)
+        x_np = rng.standard_normal((4, 3, 32, 32)).astype(np.float32)
+        gt = rng.integers(0, 2, (4, 32, 32))
+        variables = model.init(jax.random.key(1), jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+
+        t_model = TorchUNet(in_channels=3, num_classes=2, init_features=feats, depth=depth)
+        copy_unet(t_model, variables, depth=depth)
+        t_model.eval()
+        with torch.no_grad():
+            t_logits, _, _ = t_model(torch.from_numpy(x_np))
+        t_pred = t_logits.argmax(1).numpy()
+
+        with jax.default_matmul_precision("highest"):
+            logits, _, _ = model.apply(variables, jnp.asarray(x_np.transpose(0, 2, 3, 1)))
+        our_pred = np.asarray(logits.argmax(-1))
+
+        np.testing.assert_array_equal(our_pred, t_pred)
+        ours = segmentation_metrics(gt.ravel(), our_pred.ravel(), 2)
+        theirs = segmentation_metrics(gt.ravel(), t_pred.ravel(), 2)
+        assert ours["mean_iou"] == theirs["mean_iou"]
+
     def test_dice_loss_parity(self, reference_path):
         import torch
         import torch.nn.functional as F
