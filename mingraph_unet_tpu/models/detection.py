@@ -1,24 +1,35 @@
-"""Detection head: fused features → bbox + confidence (+ class scores).
+"""Detection heads: fused features → boxes + confidences.
 
-Re-design of ``model/fusion_detection/detection_head.py:4-114``. Architecture
-preserved — Conv(C→C/2) → ReLU → BN → Conv(C/2→C/4) → ReLU → BN → global
-average pool, then FC(fc_hidden) → ReLU → Dropout(0.5) → FC(fc_hidden/2) →
-ReLU → Dropout(0.5), with sigmoid bbox (B, 4), sigmoid confidence (B, 1) and
-optional class scores (B, num_classes) when ``num_classes > 1``. Note the
-reference's (unusual) Conv→ReLU→BN ordering is kept for parity. Single box
-per image by design (an explicit simplification there, docstring lines
-82-89); multi-instance detection in this framework is provided separately via
-connected-component instancing (:mod:`mingraph_unet_tpu.ops.cc`).
+Two heads:
+
+- :class:`DetectionHead` — the reference-parity single-box head.
+- :class:`DenseDetectionHead` — TPU-native multi-instance head: per-patch-cell
+  objectness + box regression over the fused map, decoded with top-k + NMS.
+  This is the production answer to the reference's explicit single-box
+  simplification (``detection_head.py`` docstring lines 82-89); counting via
+  connected-component instancing (:mod:`ops.cc`) remains available as the
+  segmentation-derived alternative.
+
+:class:`DetectionHead` re-designs ``model/fusion_detection/detection_head.py:4-114``
+with the architecture preserved — Conv(C→C/2) → ReLU → BN → Conv(C/2→C/4) →
+ReLU → BN → global average pool, then FC(fc_hidden) → ReLU → Dropout(0.5) →
+FC(fc_hidden/2) → ReLU → Dropout(0.5), with sigmoid bbox (B, 4), sigmoid
+confidence (B, 1) and optional class scores (B, num_classes) when
+``num_classes > 1``. The reference's (unusual) Conv→ReLU→BN ordering is kept
+for parity.
 """
 
 from __future__ import annotations
 
-from typing import Any, Optional, Tuple, Union
+from typing import Any, Dict, Optional, Tuple, Union
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
-__all__ = ["DetectionHead"]
+from mingraph_unet_tpu.ops.boxes import cxcywh_to_xyxy, nms
+
+__all__ = ["DetectionHead", "DenseDetectionHead", "decode_dense_detections"]
 
 
 class DetectionHead(nn.Module):
@@ -61,3 +72,125 @@ class DetectionHead(nn.Module):
             )(x).astype(jnp.float32)
             return bboxes, confidence, class_scores
         return bboxes, confidence
+
+
+class DenseDetectionHead(nn.Module):
+    """Per-cell multi-instance head over the fused feature map.
+
+    The fused NHWC map is strided down to a ``cell_size``-pitch grid; each
+    cell predicts an objectness logit and a box (dx, dy ∈ [0, 1] offset of the
+    center within the cell; w, h ∈ [0, 1] fractions of the image). Fully
+    dense and shape-static; use :func:`decode_dense_detections` for top-k +
+    NMS decoding.
+    """
+
+    cell_size: int = 16
+    hidden: int = 64
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, f_fused: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+        x = f_fused.astype(self.dtype)
+        x = nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
+        x = nn.relu(x)
+        # Pool to the cell grid.
+        x = nn.avg_pool(x, (self.cell_size, self.cell_size), (self.cell_size, self.cell_size))
+        x = nn.Conv(self.hidden, (3, 3), padding=1, dtype=self.dtype, name="conv2")(x)
+        x = nn.relu(x)
+        obj = nn.Conv(1, (1, 1), dtype=self.dtype, name="obj_head")(x).astype(jnp.float32)
+        box = nn.sigmoid(
+            nn.Conv(4, (1, 1), dtype=self.dtype, name="box_head")(x).astype(jnp.float32)
+        )
+        return {"objectness_logits": obj[..., 0], "boxes": box}  # (B, gh, gw[, 4])
+
+
+def decode_dense_detections(
+    objectness_logits: jnp.ndarray,
+    boxes: jnp.ndarray,
+    image_hw: Tuple[int, int],
+    cell_size: int,
+    top_k: int = 32,
+    score_threshold: float = 0.5,
+    iou_threshold: float = 0.5,
+):
+    """Decode dense head outputs into per-image xyxy detections.
+
+    Returns ``(boxes_xyxy (B, top_k, 4), scores (B, top_k), valid (B, top_k))``
+    — fixed shapes; invalid slots carry zero boxes/scores. Jit-compatible.
+    """
+    b, gh, gw = objectness_logits.shape
+    h, w = image_hw
+    scores_all = jax.nn.sigmoid(objectness_logits).reshape(b, gh * gw)
+    # Build per-cell centers.
+    yy = jnp.repeat(jnp.arange(gh, dtype=jnp.float32), gw)
+    xx = jnp.tile(jnp.arange(gw, dtype=jnp.float32), gh)
+    flat_boxes = boxes.reshape(b, gh * gw, 4)
+    cx = (xx[None] + flat_boxes[..., 0]) * cell_size
+    cy = (yy[None] + flat_boxes[..., 1]) * cell_size
+    bw = flat_boxes[..., 2] * w
+    bh = flat_boxes[..., 3] * h
+    xyxy = cxcywh_to_xyxy(jnp.stack([cx, cy, bw, bh], axis=-1))
+
+    def per_image(scores_i, boxes_i):
+        top_scores, top_idx = jax.lax.top_k(scores_i, top_k)
+        top_boxes = boxes_i[top_idx]
+        keep, _ = nms(top_boxes, top_scores, iou_threshold=iou_threshold)
+        valid = keep & (top_scores >= score_threshold)
+        return (
+            jnp.where(valid[:, None], top_boxes, 0.0),
+            jnp.where(valid, top_scores, 0.0),
+            valid,
+        )
+
+    return jax.vmap(per_image)(scores_all, xyxy)
+
+
+def dense_detection_loss(
+    outputs: Dict[str, jnp.ndarray],
+    gt_instance_masks: jnp.ndarray,
+    cell_size: int,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Training loss for the dense head from GT instance masks.
+
+    Args:
+        outputs: dict from :class:`DenseDetectionHead`.
+        gt_instance_masks: (B, O, H, W) binary instance masks (zero rows pad).
+    Returns (objectness BCE, box L1 over positive cells).
+
+    Assignment: each GT instance activates the cell containing its box
+    center; that cell regresses the instance's (offset, size).
+    """
+    obj_logits = outputs["objectness_logits"]  # (B, gh, gw)
+    pred_boxes = outputs["boxes"]  # (B, gh, gw, 4)
+    b, gh, gw = obj_logits.shape
+    _, o, h, w = gt_instance_masks.shape
+
+    from mingraph_unet_tpu.ops.cc import instance_boxes
+
+    gt_xyxy = jax.vmap(instance_boxes)(gt_instance_masks)  # (B, O, 4)
+    has = gt_instance_masks.any(axis=(2, 3))  # (B, O)
+    cx = (gt_xyxy[..., 0] + gt_xyxy[..., 2] + 1.0) / 2.0
+    cy = (gt_xyxy[..., 1] + gt_xyxy[..., 3] + 1.0) / 2.0
+    bw = (gt_xyxy[..., 2] - gt_xyxy[..., 0] + 1.0) / w
+    bh = (gt_xyxy[..., 3] - gt_xyxy[..., 1] + 1.0) / h
+    cell_x = jnp.clip((cx / cell_size).astype(jnp.int32), 0, gw - 1)
+    cell_y = jnp.clip((cy / cell_size).astype(jnp.int32), 0, gh - 1)
+    cell_flat = cell_y * gw + cell_x  # (B, O)
+
+    # Objectness targets: one-hot scatter of instance centers.
+    tgt = jax.vmap(
+        lambda cf, hs: jnp.zeros((gh * gw,), jnp.float32).at[cf].max(hs.astype(jnp.float32))
+    )(cell_flat, has).reshape(b, gh, gw)
+    obj_bce = jnp.mean(
+        jnp.maximum(obj_logits, 0) - obj_logits * tgt + jnp.log1p(jnp.exp(-jnp.abs(obj_logits)))
+    )
+
+    # Box regression at positive cells.
+    off_x = cx / cell_size - cell_x
+    off_y = cy / cell_size - cell_y
+    gt_reg = jnp.stack([off_x, off_y, bw, bh], axis=-1)  # (B, O, 4)
+    pred_flat = pred_boxes.reshape(b, gh * gw, 4)
+    pred_at_cells = jnp.take_along_axis(pred_flat, cell_flat[..., None], axis=1)
+    l1 = jnp.abs(pred_at_cells - gt_reg).sum(-1)
+    box_loss = (l1 * has).sum() / jnp.maximum(has.sum(), 1.0)
+    return obj_bce, box_loss

@@ -81,6 +81,9 @@ class MinGraphUNet(nn.Module):
     # Detection
     num_detection_classes: int = 1
     fc_hidden_dim: int = 256
+    # Optional multi-instance dense head (objectness + box per patch cell);
+    # the reference-parity single-box head always runs.
+    use_dense_detection: bool = False
     # Compute dtype (params stay fp32)
     dtype: Any = jnp.float32
 
@@ -232,4 +235,12 @@ class MinGraphUNet(nn.Module):
         }
         if class_scores is not None:
             out["pred_class_scores"] = class_scores
+        if self.use_dense_detection:
+            from mingraph_unet_tpu.models.detection import DenseDetectionHead
+
+            dense = DenseDetectionHead(
+                cell_size=self.patch_size, dtype=self.dtype, name="dense_detection_head"
+            )(fused, train=train)
+            out["dense_objectness_logits"] = dense["objectness_logits"]
+            out["dense_boxes"] = dense["boxes"]
         return out

@@ -110,3 +110,11 @@ class TestMinGraphUNet:
         variables = jax.eval_shape(model.init, jax.random.key(0), x)
         out = jax.eval_shape(model.apply, variables, x)
         assert out["pred_class_scores"].shape == (1, 3)
+
+    def test_dense_detection_optional_output(self):
+        model = tiny_model(use_dense_detection=True)
+        x = jnp.zeros((1, 32, 32, 3))
+        variables = jax.eval_shape(model.init, jax.random.key(0), x)
+        out = jax.eval_shape(model.apply, variables, x)
+        assert out["dense_objectness_logits"].shape == (1, 4, 4)
+        assert out["dense_boxes"].shape == (1, 4, 4, 4)
