@@ -239,6 +239,9 @@ class FusionDetectionConfig:
     fc_hidden_dim: int = 256
     num_detection_outputs: int = 5
     fusion_method: str = "concat"
+    # TPU-native additions: optional multi-instance dense head + its training.
+    use_dense_detection: bool = False
+    max_instances: int = 16
 
     def validate(self) -> None:
         if self.fusion_method not in ("concat", "add"):

@@ -75,6 +75,7 @@ def build_mingraph_unet(cfg: PipelineConfig, dtype=None) -> MinGraphUNet:
         sigma_ncut=m.mincut.sigma_ncut,
         num_detection_classes=cfg.dataset.num_detection_classes,
         fc_hidden_dim=m.fusion_detection.fc_hidden_dim,
+        use_dense_detection=m.fusion_detection.use_dense_detection,
         dtype=dtype if dtype is not None else (jnp.bfloat16 if cfg.training.bf16 else jnp.float32),
     )
 
@@ -105,6 +106,7 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
     pre = cfg.preprocessing
     lw = cfg.model.losses
     patch = cfg.model.graph_construction.patch_size
+    max_instances = cfg.model.fusion_detection.max_instances
 
     def train_step(state: TrainState, images_u8, masks, key):
         aug_key, drop_key = jax.random.split(jax.random.fold_in(key, state.step))
@@ -170,6 +172,27 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
                 total = total + l_bbox + l_conf
                 aux["l_bbox"] = l_bbox
                 aux["l_conf"] = l_conf
+            if "dense_objectness_logits" in out:
+                # GT instances from connected components of the mask; static
+                # max_instances slots.
+                from mingraph_unet_tpu.models.detection import dense_detection_loss
+                from mingraph_unet_tpu.ops import cc
+
+                def gt_instances(m):
+                    labels = cc.label_components((m == 1).astype(jnp.int32))
+                    masks_i, _ = cc.top_instances(labels, max_instances, min_area=10)
+                    return masks_i
+
+                inst = jax.vmap(gt_instances)(aug_masks)  # (B, O, H, W)
+                l_dense_obj, l_dense_box = dense_detection_loss(
+                    {"objectness_logits": out["dense_objectness_logits"],
+                     "boxes": out["dense_boxes"]},
+                    inst,
+                    patch,
+                )
+                total = total + l_dense_obj + l_dense_box
+                aux["l_dense_obj"] = l_dense_obj
+                aux["l_dense_box"] = l_dense_box
             aux["total"] = total
             return total, (new_model_state["batch_stats"], aux)
 

@@ -115,3 +115,21 @@ class TestEndToEndTrainer:
         assert int(state.step) == 2
         ckpts = os.listdir(os.path.join(str(tmp_path), "checkpoints"))
         assert ckpts, "composite checkpoint must be written"
+
+
+class TestDenseDetectionTraining:
+    def test_e2e_with_dense_head(self, tmp_path):
+        import yaml
+
+        from mingraph_unet_tpu.train.end_to_end import train_end_to_end
+
+        cfg_dir = make_dummy_run(
+            str(tmp_path), num_images=4, image_size=(32, 32), batch_size=2,
+            num_epochs=1, patch_size=8, init_features=4, depth=2,
+        )
+        mc = yaml.safe_load(open(os.path.join(cfg_dir, "model.yaml")))
+        mc["fusion_detection"]["use_dense_detection"] = True
+        mc["fusion_detection"]["max_instances"] = 8
+        yaml.safe_dump(mc, open(os.path.join(cfg_dir, "model.yaml"), "w"))
+        state, history = train_end_to_end(cfg_dir, max_epochs=1)
+        assert np.isfinite(history["epoch_loss"][0])
