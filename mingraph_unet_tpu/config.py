@@ -242,10 +242,28 @@ class FusionDetectionConfig:
     # TPU-native additions: optional multi-instance dense head + its training.
     use_dense_detection: bool = False
     max_instances: int = 16
+    # Pre-pool the fused map to ≤S×S before the detection conv stack (TPU
+    # fast path; None = reference-exact full-resolution convs). See
+    # models/detection.py::DetectionHead.
+    detection_pre_pool: Optional[int] = None
 
     def validate(self) -> None:
         if self.fusion_method not in ("concat", "add"):
             raise ValueError("fusion_method must be 'concat' or 'add'")
+        if self.detection_pre_pool is not None and self.detection_pre_pool < 1:
+            raise ValueError("detection_pre_pool must be >= 1 or null")
+
+
+@dataclass
+class AblationConfig:
+    """Pipeline stage toggles for the paper's Table-3 ablations (reference
+    ``experiments/ablation_study.py:36-40, 78-85`` names the requirement —
+    "instantiate the ablated model" — without implementing switches)."""
+
+    use_patch_gat: bool = True
+    use_partition: bool = True
+    use_region_gat: bool = True
+    use_fusion: bool = True
 
 
 @dataclass
@@ -271,6 +289,7 @@ class ModelConfig:
     mincut: MinCutConfig = field(default_factory=MinCutConfig)
     fusion_detection: FusionDetectionConfig = field(default_factory=FusionDetectionConfig)
     losses: LossWeightsConfig = field(default_factory=LossWeightsConfig)
+    ablation: AblationConfig = field(default_factory=AblationConfig)
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
@@ -285,6 +304,7 @@ class ModelConfig:
             mincut=build(MinCutConfig, "mincut"),
             fusion_detection=build(FusionDetectionConfig, "fusion_detection"),
             losses=build(LossWeightsConfig, "losses"),
+            ablation=build(AblationConfig, "ablation"),
         )
         cfg.validate()
         return cfg

@@ -1,24 +1,33 @@
 """Ablation study harness (≡ ``experiments/ablation_study.py``).
 
-Maps the paper's Table-3 variant names to pipeline configurations and
-evaluates each with the yield harness:
+Maps the paper's Table-3 variant names to **real ablated architectures**
+(stage toggles on :class:`MinGraphUNet`) and evaluates each with the yield
+harness. The reference names exactly this requirement — the loader must
+"instantiate the ablated model" (``ablation_study.py:36-40``) — but provides
+no switches; the Table-3 names (lines 78-85) are vague, so the mapping below
+records our interpretation:
 
-- "Min-Cut Only"            — partition stage without GAT refinement
-- "Graph U-Net Only"        — U-Net + patch GAT, no partition/region stages
-- "Graph Construction"      — patch graph features only
-- "Graph Traversal"         — GAT message passing variant
-- "Combined (Full Method)"  — the full MinGraph-UNet
+- "Min-Cut Only"            — partition without GAT refinement:
+                              patch_gat=off, partition=on, region_gat=off
+- "Graph U-Net Only"        — U-Net + patch GAT, no partition/region stages:
+                              patch_gat=on, partition=off
+- "Graph Construction"      — raw patch-graph features fused, no message
+                              passing or partition: all graph stages off
+- "Graph Traversal"         — GAT + partition without the region GAT:
+                              patch_gat=on, partition=on, region_gat=off
+- "Combined (Full Method)"  — the full MinGraph-UNet (all stages on)
 
-(reference lines 78-85). When trained weights for a variant are missing the
-reference silently fabricates ``U(80, 95)`` / ``U(5, 15)`` mock numbers
-(lines 43-51, with its missing-``np``-import bug); here missing weights are
-reported as such, and mock numbers are only produced with an explicit
-``allow_mock=True`` and are clearly labeled ``"mocked": True``.
+When trained weights for a variant are missing the reference silently
+fabricates ``U(80, 95)`` / ``U(5, 15)`` mock numbers (lines 43-51, with its
+missing-``np``-import bug); here missing weights are reported as such, and
+mock numbers are only produced with an explicit ``allow_mock=True`` and are
+clearly labeled ``"mocked": True``.
 """
 
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import os
 from typing import Dict, List, Optional
 
@@ -26,7 +35,13 @@ import numpy as np
 
 from mingraph_unet_tpu.experiments.yield_estimation_performance import evaluate_yield_model
 
-__all__ = ["ABLATION_VARIANTS", "run_ablation_experiment", "run_ablation_study"]
+__all__ = [
+    "ABLATION_VARIANTS",
+    "VARIANT_TOGGLES",
+    "apply_variant",
+    "run_ablation_experiment",
+    "run_ablation_study",
+]
 
 ABLATION_VARIANTS: Dict[str, str] = {
     "Min-Cut Only": "mincut_only",
@@ -35,6 +50,30 @@ ABLATION_VARIANTS: Dict[str, str] = {
     "Graph Traversal": "graph_traversal",
     "Combined (Full Method)": "combined",
 }
+
+# Stage toggles per variant slug (see module docstring for the rationale).
+VARIANT_TOGGLES: Dict[str, Dict[str, bool]] = {
+    "mincut_only": {"use_patch_gat": False, "use_partition": True, "use_region_gat": False},
+    "graph_unet_only": {"use_patch_gat": True, "use_partition": False, "use_region_gat": False},
+    "graph_construction": {
+        "use_patch_gat": False,
+        "use_partition": False,
+        "use_region_gat": False,
+    },
+    "graph_traversal": {"use_patch_gat": True, "use_partition": True, "use_region_gat": False},
+    "combined": {"use_patch_gat": True, "use_partition": True, "use_region_gat": True},
+}
+
+
+def apply_variant(cfg, variant_slug: str):
+    """Return a copy of ``cfg`` with the variant's stage toggles applied to
+    ``cfg.model.ablation`` (the config consumed by ``build_mingraph_unet``)."""
+    toggles = VARIANT_TOGGLES[variant_slug]
+    cfg = dataclasses.replace(cfg)
+    cfg.model = dataclasses.replace(
+        cfg.model, ablation=dataclasses.replace(cfg.model.ablation, **toggles)
+    )
+    return cfg
 
 
 def run_ablation_experiment(
@@ -64,7 +103,12 @@ def run_ablation_experiment(
             "mocked": True,
         }
     results = evaluate_yield_model(
-        config_dir, weights_path, model_type="mingraph-unet", num_images=num_images, seed=seed
+        config_dir,
+        weights_path,
+        model_type="mingraph-unet",
+        num_images=num_images,
+        seed=seed,
+        ablation=VARIANT_TOGGLES[ABLATION_VARIANTS[variant_name]],
     )
     return {"variant": variant_name, **results, "mocked": False}
 

@@ -93,7 +93,10 @@ class SegmentationCountDetector:
     instance boxes + mean-probability confidences."""
 
     def __init__(self, config_dir: str, weights_path: str, model_type: str = "unet",
-                 max_objects: int = 32, min_area: int = 10):
+                 max_objects: int = 32, min_area: int = 10,
+                 ablation: Optional[Dict[str, bool]] = None):
+        import dataclasses
+
         import jax
         import jax.numpy as jnp
 
@@ -104,6 +107,10 @@ class SegmentationCountDetector:
         from mingraph_unet_tpu.train.end_to_end import build_mingraph_unet
 
         cfg = PipelineConfig.from_config_dir(config_dir)
+        if ablation:
+            cfg.model = dataclasses.replace(
+                cfg.model, ablation=dataclasses.replace(cfg.model.ablation, **ablation)
+            )
         self.cfg = cfg
         self.max_objects = max_objects
         variables = load_variables(weights_path)
@@ -173,17 +180,19 @@ def evaluate_yield_model(
     model_type: str = "mock",
     num_images: int = 8,
     seed: int = 0,
+    ablation: Optional[Dict[str, bool]] = None,
 ) -> Dict[str, float]:
     """Evaluate counting/yield metrics. ``model_type``: 'mock' reproduces the
     reference's MockDetector path; 'unet'/'mingraph-unet' run the real
-    segmentation-instancing detector."""
+    segmentation-instancing detector. ``ablation`` overrides the pipeline's
+    stage toggles (Table-3 variants; see experiments/ablation_study.py)."""
     dataset = DummyYieldDataset(num_images=num_images, seed=seed)
     if model_type == "mock":
         detector = MockDetector(seed=seed)
     else:
         if not (config_dir and weights_path):
             raise ValueError("config_dir and weights_path required for a real detector")
-        detector = SegmentationCountDetector(config_dir, weights_path, model_type)
+        detector = SegmentationCountDetector(config_dir, weights_path, model_type, ablation=ablation)
 
     gt_counts, pred_counts, gt_objs, pred_objs = [], [], [], []
     for i in range(len(dataset)):

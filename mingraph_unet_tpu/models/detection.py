@@ -33,15 +33,32 @@ __all__ = ["DetectionHead", "DenseDetectionHead", "decode_dense_detections"]
 
 
 class DetectionHead(nn.Module):
+    """Reference-parity global head; ``pre_pool_size`` adds the TPU fast path.
+
+    The reference (and the exact path here, ``pre_pool_size=None``) runs the
+    two 3×3 convs at full input resolution and then global-average-pools —
+    at 512² that is ~27 GFLOP/img (~9 ms/step on v5e) computing features that
+    are immediately averaged away. With ``pre_pool_size=S`` the fused map is
+    average-pooled down to ≤S×S *first*; the conv stack then costs (H/S)²×
+    less. This changes numerics (pool and conv do not commute through the
+    ReLU/BN nonlinearities) so it is a documented production divergence; the
+    exact path remains the default and is what the torch-parity tests cover.
+    """
+
     num_classes: int = 1
     fc_hidden_dim: int = 256
     input_is_flat: bool = False
+    pre_pool_size: Optional[int] = None
     dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, f_fused: jnp.ndarray, train: bool = False):
         x = f_fused.astype(self.dtype)
         if not self.input_is_flat:
+            if self.pre_pool_size is not None and x.shape[1] > self.pre_pool_size:
+                sh = max(1, x.shape[1] // self.pre_pool_size)
+                sw = max(1, x.shape[2] // self.pre_pool_size)
+                x = nn.avg_pool(x, (sh, sw), strides=(sh, sw))
             c = x.shape[-1]
             x = nn.Conv(c // 2, (3, 3), padding=1, dtype=self.dtype, name="conv1")(x)
             x = nn.relu(x)

@@ -81,9 +81,31 @@ class MinGraphUNet(nn.Module):
     # Detection
     num_detection_classes: int = 1
     fc_hidden_dim: int = 256
+    # Pre-pool the fused map to ≤S×S before the detection conv stack (the
+    # convs' output is globally averaged anyway; running them at 512² costs
+    # ~9 ms/step for features the mean immediately discards). None = the
+    # reference-exact full-resolution path.
+    detection_pre_pool: Optional[int] = None
     # Optional multi-instance dense head (objectness + box per patch cell);
     # the reference-parity single-box head always runs.
     use_dense_detection: bool = False
+    # --- Ablation stage toggles (paper Table 3; reference
+    # ``ablation_study.py:36-40`` demands the loader "instantiate the ablated
+    # model" but provides no switches — these are them). Each `False` removes
+    # the stage's parameters and passes features through:
+    #   use_patch_gat=False  — patch features skip GAT refinement (linear
+    #                          projection to the GAT width instead).
+    #   use_partition=False  — no MinCut stage: L_partition ≡ 0 and the
+    #                          patch-level embeddings broadcast to pixels
+    #                          directly (no region pooling / region GAT).
+    #   use_region_gat=False — region embeddings are the pooled segment
+    #                          means without the K-region GAT pass.
+    #   use_fusion=False     — detection sees F_u[0] only (no graph branch
+    #                          features in the fused map).
+    use_patch_gat: bool = True
+    use_partition: bool = True
+    use_region_gat: bool = True
+    use_fusion: bool = True
     # Compute dtype (params stay fp32)
     dtype: Any = jnp.float32
 
@@ -128,7 +150,9 @@ class MinGraphUNet(nn.Module):
         ) * 255.0
         sobel = filters.sobel_magnitude(rgb255, self.sobel_kernel_size)  # (B, H, W)
         sobel_patch = patch_reduce_mean(sobel[..., None] / 255.0, self.patch_size)
-        histeq = jax.vmap(filters.equalize_histogram_rgb)(
+        # Batched hist-eq: Pallas fused kernel on TPU, XLA one-hot elsewhere
+        # (bit-exact either way; see ops/pallas/histeq.py).
+        histeq = filters.equalize_histogram_rgb_batched(
             jnp.clip(jnp.round(rgb255), 0, 255).astype(jnp.uint8)
         ).astype(jnp.float32)
         histeq_patch = patch_reduce_mean(histeq / 255.0, self.patch_size)
@@ -137,17 +161,24 @@ class MinGraphUNet(nn.Module):
         )  # (B, nph, npw, F0p + 1 + 3)
 
         # === Stage 3: patch GAT over the lattice ===
-        gat_feats = GATNetwork(
-            hidden_dim=self.gat_hidden_dim,
-            output_dim=self.gat_output_dim,
-            num_heads=self.gat_num_heads,
-            num_layers=self.gat_num_layers,
-            dropout_rate=self.gat_dropout,
-            alpha=self.gat_alpha,
-            backend="lattice",
-            dtype=self.dtype,
-            name="patch_gat",
-        )(patch_feats.astype(self.dtype), deterministic=deterministic)
+        if self.use_patch_gat:
+            gat_feats = GATNetwork(
+                hidden_dim=self.gat_hidden_dim,
+                output_dim=self.gat_output_dim,
+                num_heads=self.gat_num_heads,
+                num_layers=self.gat_num_layers,
+                dropout_rate=self.gat_dropout,
+                alpha=self.gat_alpha,
+                backend="lattice",
+                dtype=self.dtype,
+                name="patch_gat",
+            )(patch_feats.astype(self.dtype), deterministic=deterministic)
+        else:
+            # Ablated: no message passing — per-patch linear projection keeps
+            # the downstream width contract.
+            gat_feats = nn.Dense(
+                self.gat_output_dim, dtype=self.dtype, name="patch_passthrough_proj"
+            )(patch_feats.astype(self.dtype))
 
         # Adapter for L_feature: pooled decoder features → GAT width (the
         # reference stubs this pair with randn, train_end_to_end.py:338).
@@ -155,58 +186,73 @@ class MinGraphUNet(nn.Module):
             self.gat_output_dim, dtype=self.dtype, name="feature_consistency_proj"
         )(patch_reduce_mean(f_u[0], self.patch_size)).astype(jnp.float32)
 
-        # === Stage 4: MinCut partition ===
-        l_partition, soft_assign = MinCutRefinement(
-            num_segments=self.num_segments,
-            sigma_ncut=self.sigma_ncut,
-            backend="lattice",
-            predictor_hidden=self.gat_output_dim // 2,
-            predictor_use_gnn=True,
-            predictor_heads=max(1, self.gat_num_heads // 2),
-            dropout_rate=self.gat_dropout,
-            alpha=self.gat_alpha,
-            dtype=self.dtype,
-            name="mincut",
-        )(gat_feats, deterministic=deterministic)
-        hard_labels = jnp.argmax(soft_assign, axis=-1)  # (B, nph, npw)
-
-        # === Stage 5: region pooling + region GAT ===
         nph, npw = gat_feats.shape[1], gat_feats.shape[2]
-        flat_feats = gat_feats.reshape(b, nph * npw, -1).astype(jnp.float32)
-        flat_labels = hard_labels.reshape(b, nph * npw)
-        region_feats, region_counts = segment_mean(flat_feats, flat_labels, self.num_segments)
-        if self.num_segments > 1:
-            region_adj = fully_connected_adjacency(self.num_segments)
-            region_embeds = GATNetwork(
-                hidden_dim=self.gat_hidden_dim,
-                output_dim=self.gat_output_dim,
-                num_heads=self.gat_num_heads,
-                num_layers=1,
+        if self.use_partition:
+            # === Stage 4: MinCut partition ===
+            l_partition, soft_assign = MinCutRefinement(
+                num_segments=self.num_segments,
+                sigma_ncut=self.sigma_ncut,
+                backend="lattice",
+                predictor_hidden=self.gat_output_dim // 2,
+                predictor_use_gnn=True,
+                predictor_heads=max(1, self.gat_num_heads // 2),
                 dropout_rate=self.gat_dropout,
                 alpha=self.gat_alpha,
-                backend="dense",
                 dtype=self.dtype,
-                name="region_gat",
-            )(region_feats.astype(self.dtype), adj=region_adj, deterministic=deterministic)
-            region_embeds = region_embeds.astype(jnp.float32)
-        else:
-            region_embeds = region_feats
+                name="mincut",
+            )(gat_feats, deterministic=deterministic)
+            hard_labels = jnp.argmax(soft_assign, axis=-1)  # (B, nph, npw)
 
-        # Broadcast region embeddings → patches → pixels (nearest).
-        f_g_patch = gather_rows(region_embeds, flat_labels).reshape(b, nph, npw, -1)
+            # === Stage 5: region pooling + region GAT ===
+            flat_feats = gat_feats.reshape(b, nph * npw, -1).astype(jnp.float32)
+            flat_labels = hard_labels.reshape(b, nph * npw)
+            region_feats, region_counts = segment_mean(flat_feats, flat_labels, self.num_segments)
+            if self.num_segments > 1 and self.use_region_gat:
+                region_adj = fully_connected_adjacency(self.num_segments)
+                region_embeds = GATNetwork(
+                    hidden_dim=self.gat_hidden_dim,
+                    output_dim=self.gat_output_dim,
+                    num_heads=self.gat_num_heads,
+                    num_layers=1,
+                    dropout_rate=self.gat_dropout,
+                    alpha=self.gat_alpha,
+                    backend="dense",
+                    dtype=self.dtype,
+                    name="region_gat",
+                )(region_feats.astype(self.dtype), adj=region_adj, deterministic=deterministic)
+                region_embeds = region_embeds.astype(jnp.float32)
+            else:
+                region_embeds = region_feats
+
+            # Broadcast region embeddings → patches → pixels (nearest).
+            f_g_patch = gather_rows(region_embeds, flat_labels).reshape(b, nph, npw, -1)
+        else:
+            # Ablated: no partition → no regions; the patch-level embeddings
+            # broadcast to pixels directly ("Graph U-Net Only" semantics).
+            l_partition = jnp.zeros((b,), jnp.float32)
+            soft_assign = jnp.zeros((b, nph, npw, self.num_segments), jnp.float32)
+            soft_assign = soft_assign.at[..., 0].set(1.0)
+            hard_labels = jnp.zeros((b, nph, npw), jnp.int32)
+            region_embeds = jnp.zeros((b, self.num_segments, gat_feats.shape[-1]), jnp.float32)
+            region_counts = jnp.zeros((b, self.num_segments), jnp.float32)
+            f_g_patch = gat_feats.astype(jnp.float32)
         f_g_pixel = broadcast_patch_to_pixels(f_g_patch, self.patch_size)  # (B, H, W, Dg)
 
         # === Stage 6: fusion === (kept in the compute dtype: the fused map is
         # the largest activation in the pipeline — f32 here doubles the HBM
         # traffic the detection head reads)
-        fused = fuse_features(
-            [f_u[0].astype(self.dtype)], f_g_pixel.astype(self.dtype), target_spatial_size=(h, w)
-        )
+        if self.use_fusion:
+            fused = fuse_features(
+                [f_u[0].astype(self.dtype)], f_g_pixel.astype(self.dtype), target_spatial_size=(h, w)
+            )
+        else:
+            fused = f_u[0].astype(self.dtype)
 
         # === Stage 7: detection ===
         det = DetectionHead(
             num_classes=self.num_detection_classes,
             fc_hidden_dim=self.fc_hidden_dim,
+            pre_pool_size=self.detection_pre_pool,
             dtype=self.dtype,
             name="detection_head",
         )(fused.astype(self.dtype), train=train)

@@ -76,6 +76,11 @@ def build_mingraph_unet(cfg: PipelineConfig, dtype=None) -> MinGraphUNet:
         num_detection_classes=cfg.dataset.num_detection_classes,
         fc_hidden_dim=m.fusion_detection.fc_hidden_dim,
         use_dense_detection=m.fusion_detection.use_dense_detection,
+        detection_pre_pool=m.fusion_detection.detection_pre_pool,
+        use_patch_gat=m.ablation.use_patch_gat,
+        use_partition=m.ablation.use_partition,
+        use_region_gat=m.ablation.use_region_gat,
+        use_fusion=m.ablation.use_fusion,
         dtype=dtype if dtype is not None else (jnp.bfloat16 if cfg.training.bf16 else jnp.float32),
     )
 

@@ -1,0 +1,299 @@
+#!/usr/bin/env python
+"""Perf lab: in-process A/B timing of pipeline stages on the real TPU.
+
+The axon relay's session-to-session throughput varies ±30%, so alternatives
+are always measured *within one process* against a shared baseline. Timing
+methodology (see bench.py): N iterations inside one jit via ``lax.scan`` with
+a loop-carried scalar checksum; only the scalar crosses the relay.
+
+Usage: python scripts/perf_lab.py <experiment> [...]
+Experiments: stages | detpool | histeq | unet
+"""
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+BATCH = 8
+SIZE = 512
+
+
+def timed_loop(fn, args, iters=20, reps=3, label=""):
+    """Per-step time via two loop lengths: the relay adds a fixed ~25-30 ms
+    dispatch cost per executable call, so a single N-iter loop overstates the
+    per-step time by ~1.4 ms at N=20. Timing N and 3N iterations and taking
+    the slope cancels the fixed cost."""
+    import jax
+    import jax.numpy as jnp
+    from functools import partial
+
+    @partial(jax.jit, static_argnames=("length",))
+    def loop(*a, length):
+        def body(carry, _):
+            chk = fn(*a, carry)
+            return chk, None
+
+        chk, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
+        return chk
+
+    t0 = time.perf_counter()
+    float(loop(*args, length=iters))
+    float(loop(*args, length=3 * iters))
+    compile_t = time.perf_counter() - t0
+
+    def best(length):
+        ts = []
+        for _ in range(reps):
+            t0 = time.perf_counter()
+            float(loop(*args, length=length))
+            ts.append(time.perf_counter() - t0)
+        return min(ts)
+
+    t_short, t_long = best(iters), best(3 * iters)
+    ms = (t_long - t_short) / (2 * iters) * 1e3
+    print(f"[lab] {label:<44} {ms:8.2f} ms/step  (compile {compile_t:.0f}s)")
+    return ms
+
+
+def setup():
+    from mingraph_unet_tpu.utils.env import setup_host
+
+    setup_host(force_cpu=False)
+    import jax
+
+    print(f"[lab] backend={jax.default_backend()} devices={jax.devices()}")
+
+
+def exp_stages():
+    """Per-stage breakdown of the 512² b8 bf16 pipeline."""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.models.detection import DetectionHead
+    from mingraph_unet_tpu.models.pipeline import MinGraphUNet
+    from mingraph_unet_tpu.models.unet import UNet
+    from mingraph_unet_tpu.ops import filters
+
+    x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
+
+    model = MinGraphUNet(dtype=jnp.bfloat16)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+
+    def full(variables, x, c):
+        out = model.apply(variables, x + c * 1e-12, train=False)
+        return out["logits"].sum() + out["pred_confidence"].sum()
+
+    timed_loop(full, (variables, x), label="full pipeline")
+
+    unet = UNet(dtype=jnp.bfloat16)
+    uv = jax.jit(unet.init)(jax.random.key(0), x)
+
+    def unet_fwd(uv, x, c):
+        logits, skips, f_u = unet.apply(uv, x + c * 1e-12, train=False)
+        return logits.sum()
+
+    timed_loop(unet_fwd, (uv, x), label="U-Net only")
+
+    # Detection head on a fused-map-shaped input (32 + 64 = 96 ch).
+    fused = jnp.zeros((BATCH, SIZE, SIZE, 96), jnp.bfloat16)
+    det = DetectionHead(dtype=jnp.bfloat16)
+    dv = jax.jit(det.init)(jax.random.key(0), fused)
+
+    def det_fwd(dv, fused, c):
+        bb, conf = det.apply(dv, fused + c * jnp.bfloat16(1e-8), train=False)
+        return bb.sum() + conf.sum()
+
+    timed_loop(det_fwd, (dv, fused), label="detection head (exact, 512² conv)")
+
+    rgb = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.uint8)
+
+    def histeq_xla(rgb, c):
+        out = jax.vmap(filters.equalize_histogram_rgb)(rgb).astype(jnp.float32)
+        return out.sum() + c * 0
+
+    timed_loop(histeq_xla, (rgb,), label="hist-eq RGB (XLA one-hot)")
+
+    def sobel(rgb, c):
+        return filters.sobel_magnitude(rgb.astype(jnp.float32) + c * 1e-12).sum()
+
+    timed_loop(sobel, (rgb,), label="sobel")
+
+
+def exp_detpool():
+    """Detection head: exact vs pre-pooled variants."""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.models.detection import DetectionHead
+
+    fused = jnp.zeros((BATCH, SIZE, SIZE, 96), jnp.bfloat16)
+    for pool in (None, 64, 32, 16):
+        det = DetectionHead(dtype=jnp.bfloat16, pre_pool_size=pool)
+        dv = jax.jit(det.init)(jax.random.key(0), fused)
+
+        def det_fwd(dv, fused, c, det=det):
+            bb, conf = det.apply(dv, fused + c * jnp.bfloat16(1e-8), train=False)
+            return bb.sum() + conf.sum()
+
+        timed_loop(det_fwd, (dv, fused), label=f"detection head pre_pool={pool}")
+
+
+def exp_histeq():
+    """Hist-eq: XLA one-hot vs Pallas kernel, full RGB stage."""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.ops import filters
+
+    rgb = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.uint8)
+
+    def xla_path(rgb, c):
+        out = jax.vmap(filters.equalize_histogram_rgb)(rgb).astype(jnp.float32)
+        return out.sum() + c * 0
+
+    timed_loop(xla_path, (rgb,), label="hist-eq RGB (XLA vmap)")
+
+    def fast_path(rgb, c):
+        out = filters.equalize_histogram_rgb_batched(rgb).astype(jnp.float32)
+        return out.sum() + c * 0
+
+    timed_loop(fast_path, (rgb,), label="hist-eq RGB (batched/pallas dispatch)")
+
+
+def exp_unet():
+    """U-Net lowering variants."""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.models.unet import UNet
+
+    x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
+    unet = UNet(dtype=jnp.bfloat16)
+    uv = jax.jit(unet.init)(jax.random.key(0), x)
+
+    def unet_fwd(uv, x, c):
+        logits, skips, f_u = unet.apply(uv, x + c * 1e-12, train=False)
+        return logits.sum()
+
+    timed_loop(unet_fwd, (uv, x), label="U-Net bf16 (baseline)")
+
+
+def exp_convs():
+    """Microbench the U-Net's conv shapes: achieved TFLOP/s per level."""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+
+    key = jax.random.key(0)
+    for size, c_in, c_out in [
+        (512, 3, 32), (512, 32, 32), (512, 64, 32),
+        (256, 32, 64), (256, 64, 64), (256, 128, 64),
+        (128, 64, 128), (128, 128, 128),
+        (64, 128, 256), (64, 256, 256),
+        (32, 256, 512), (32, 512, 512),
+    ]:
+        x = jax.random.normal(key, (BATCH, size, size, c_in), jnp.bfloat16)
+        k = jax.random.normal(key, (3, 3, c_in, c_out), jnp.bfloat16)
+
+        def f(x, k, c):
+            return conv(x + c.astype(jnp.bfloat16) * 1e-8, k).sum()
+
+        ms = timed_loop(f, (x, k), label=f"conv3x3 {c_in:>3}->{c_out:<3} @{size}² b8")
+        gf = 2 * BATCH * size * size * c_in * c_out * 9 / 1e9
+        print(f"      -> {gf / ms:.1f} TFLOP/s ({gf:.1f} GF)")
+
+
+def exp_convchain():
+    """Marginal cost per conv: chain K same-shape convs in the loop body."""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    def conv(x, k):
+        return jax.lax.conv_general_dilated(
+            x, k, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+    key = jax.random.key(0)
+    for size, c in [(512, 32), (256, 64), (128, 128), (64, 256), (512, 128)]:
+        x = jax.random.normal(key, (BATCH, size, size, c), jnp.bfloat16)
+        k = jax.random.normal(key, (3, 3, c, c), jnp.bfloat16) * (0.5 / c)
+        gf = 2 * BATCH * size * size * c * c * 9 / 1e9
+        for depth in (1, 8):
+
+            def f(x, k, cc, depth=depth):
+                y = x + cc.astype(jnp.bfloat16) * 1e-8
+                for _ in range(depth):
+                    y = conv(y, k)
+                return y.astype(jnp.float32).mean()
+
+            ms = timed_loop(f, (x, k), label=f"chain x{depth} conv {c}ch @{size}² b8")
+            print(f"      -> {gf * depth / ms:.1f} TFLOP/s")
+
+
+def exp_convt():
+    """ConvTranspose(k2, s2) lowering alternatives."""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    key = jax.random.key(0)
+    for size, c_in in [(32, 512), (64, 256), (128, 128), (256, 64)]:
+        c_out = c_in // 2
+        x = jax.random.normal(key, (BATCH, size, size, c_in), jnp.bfloat16)
+        k = jax.random.normal(key, (2, 2, c_in, c_out), jnp.bfloat16) * 0.05
+
+        def via_convt(x, k, c):
+            y = jax.lax.conv_transpose(
+                x + c.astype(jnp.bfloat16) * 1e-8, k, (2, 2), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y.astype(jnp.float32).sum()
+
+        def via_matmul_ps(x, k, c):
+            # (B,H,W,Cin) @ (Cin, 2*2*Cout) -> pixel shuffle
+            xm = x + c.astype(jnp.bfloat16) * 1e-8
+            km = k.transpose(2, 0, 1, 3).reshape(c_in, 4 * c_out)
+            y = xm @ km  # (B,H,W,4*Cout)
+            b_, h_, w_ = y.shape[:3]
+            y = y.reshape(b_, h_, w_, 2, 2, c_out)
+            y = y.transpose(0, 1, 3, 2, 4, 5).reshape(b_, 2 * h_, 2 * w_, c_out)
+            return y.astype(jnp.float32).sum()
+
+        def via_dilated(x, k, c):
+            # Equivalent lhs-dilated conv form.
+            y = jax.lax.conv_general_dilated(
+                x + c.astype(jnp.bfloat16) * 1e-8,
+                k[::-1, ::-1], (1, 1), [(1, 1), (1, 1)], lhs_dilation=(2, 2),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return y.astype(jnp.float32).sum()
+
+        for name, fn in [("conv_transpose", via_convt), ("matmul+shuffle", via_matmul_ps),
+                         ("lhs_dilated", via_dilated)]:
+            timed_loop(fn, (x, k), label=f"convT {c_in:>3}->{c_out:<3} @{size}²→{2*size}² {name}")
+
+
+if __name__ == "__main__":
+    exp = sys.argv[1] if len(sys.argv) > 1 else "stages"
+    {
+        "stages": exp_stages,
+        "detpool": exp_detpool,
+        "histeq": exp_histeq,
+        "unet": exp_unet,
+        "convs": exp_convs,
+        "convchain": exp_convchain,
+        "convt": exp_convt,
+    }[exp]()

@@ -1,3 +1,4 @@
+import chex
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -103,6 +104,24 @@ class TestDetectionHead:
         v = head.init(jax.random.key(0), x)
         b, c, cls = head.apply(v, x)
         assert cls.shape == (2, 3)
+
+    def test_pre_pool_same_params_and_shapes(self):
+        """The fast pre-pooled path keeps the identical parameter tree (only
+        the conv-stack input resolution changes) and output contracts."""
+        x = jnp.asarray(rng(7).random((2, 32, 32, 16)), jnp.float32)
+        exact = DetectionHead(num_classes=1, fc_hidden_dim=64)
+        fast = DetectionHead(num_classes=1, fc_hidden_dim=64, pre_pool_size=8)
+        v_exact = exact.init(jax.random.key(0), x)
+        v_fast = fast.init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(v_exact) == jax.tree_util.tree_structure(v_fast)
+        chex.assert_trees_all_equal_shapes(v_exact, v_fast)
+        b, c = fast.apply(v_fast, x)
+        assert b.shape == (2, 4) and c.shape == (2, 1)
+        # No-op when the input is already at/below the pool size.
+        small = jnp.asarray(rng(8).random((2, 8, 8, 16)), jnp.float32)
+        b_fast, c_fast = fast.apply(v_fast, small)
+        b_exact, c_exact = exact.apply(v_fast, small)
+        np.testing.assert_allclose(np.asarray(b_fast), np.asarray(b_exact), rtol=1e-6)
 
     def test_dropout_active_in_train(self):
         head = DetectionHead(num_classes=1, fc_hidden_dim=64)

@@ -85,3 +85,27 @@ class TestHisteqKernel:
 
         with pytest.raises(ValueError):
             equalize_channel_pallas(jnp.zeros((1, 10, 10), jnp.int32), interpret=True)
+
+
+class TestHisteqBatchedDispatch:
+    """The pipeline's batched RGB hist-eq wrapper (Pallas on TPU, XLA
+    fallback elsewhere) is bit-exact with the per-image reference path."""
+
+    def test_batched_matches_vmap(self):
+        from mingraph_unet_tpu.ops.filters import (
+            equalize_histogram_rgb,
+            equalize_histogram_rgb_batched,
+        )
+
+        rgb = jnp.asarray(
+            np.random.default_rng(2).integers(0, 256, (3, 64, 64, 3)), jnp.uint8
+        )
+        ref = jax.vmap(equalize_histogram_rgb)(rgb)
+        ours = equalize_histogram_rgb_batched(rgb)  # CPU -> XLA fallback path
+        np.testing.assert_array_equal(np.asarray(ours), np.asarray(ref))
+
+    def test_dispatch_eligibility(self):
+        from mingraph_unet_tpu.ops.filters import _histeq_pallas_ok
+
+        # CPU backend in tests: never eligible regardless of shape.
+        assert not _histeq_pallas_ok(512, 512)
