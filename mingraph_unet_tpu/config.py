@@ -168,6 +168,9 @@ class UNetConfig:
     # Rematerialize ConvBlocks in the backward pass (jax.checkpoint): trades
     # FLOPs for HBM at large training resolutions. TPU-native addition.
     remat: bool = False
+    # Space-to-depth lowering of the full-resolution levels (exact
+    # reparameterization, ~2× faster at 512² on v5e; ops/s2d.py).
+    s2d_level0: bool = True
 
     def validate(self) -> None:
         if self.depth < 1:
@@ -405,6 +408,9 @@ class TrainingConfig:
     resume: bool = True
     donate_buffers: bool = True
     debug_nans: bool = False
+    # Device-resident multi-step window: lax.scan over K pre-staged batches
+    # per host dispatch (one metrics fetch per window). 1 = step-per-dispatch.
+    scan_window: int = 1
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":
@@ -417,6 +423,8 @@ class TrainingConfig:
             raise ValueError(f"Optimizer {self.optimizer!r} not supported (adam|sgd).")
         if self.batch_size < 1:
             raise ValueError("batch_size must be >= 1")
+        if self.scan_window < 1:
+            raise ValueError("scan_window must be >= 1")
         if self.lr_scheduler is not None and self.lr_scheduler.lower() not in ("steplr", "none"):
             raise ValueError("lr_scheduler must be 'steplr', 'none' or null")
 

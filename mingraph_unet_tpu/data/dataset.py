@@ -271,6 +271,7 @@ def device_preprocess_batch(
     augment: bool = False,
     flip_prob: float = 0.5,
     rotation_degrees: float = 15.0,
+    crop_prob: float = 0.0,
 ):
     """On-device batch preprocessing: (optional synced augment) + normalize.
 
@@ -287,6 +288,6 @@ def device_preprocess_batch(
     if augment:
         keys = jax.random.split(key, imgs.shape[0])
         imgs, masks = jax.vmap(
-            lambda k, i, m: augment_pair(k, i, m, flip_prob, rotation_degrees)
+            lambda k, i, m: augment_pair(k, i, m, flip_prob, rotation_degrees, crop_prob)
         )(keys, imgs, masks)
     return normalize(imgs, mean, std), masks

@@ -31,6 +31,7 @@ __all__ = [
     "total_variation_loss",
     "elliptical_shape_loss",
     "elliptical_shape_loss_from_probs",
+    "elliptical_shape_loss_soft",
     "detection_losses",
 ]
 
@@ -168,6 +169,31 @@ def elliptical_shape_loss_from_probs(
     pred = jnp.argmax(segmentation_probs, axis=-1)
     masks = (pred == foreground_class).astype(jnp.float32)[:, None, :, :]  # (B, 1, H, W)
     return elliptical_shape_loss(masks, min_pixels, epsilon)
+
+
+def elliptical_shape_loss_soft(
+    segmentation_probs: jnp.ndarray,
+    foreground_class: int = 1,
+    min_pixels: int = 10,
+    epsilon: float = 1e-6,
+) -> jnp.ndarray:
+    """Differentiable L_shape: probability-weighted (soft-mask) moments.
+
+    The reference's intended energy (``shape_loss.py:6-27``) penalizes
+    non-elliptical objects, but its semantic fallback (and round-1's
+    :func:`elliptical_shape_loss_from_probs`) computes moments of the hard
+    argmax mask — ∂L/∂probs ≡ 0, so λ1 contributed no gradient (the
+    reference hard-codes the λ1 term to 0 outright,
+    ``train_end_to_end.py:287``). Here the foreground *probability map* is
+    the mask weight: centroid, covariance and the Mahalanobis penalty are
+    probability-weighted, so the loss pulls predicted blobs toward
+    elliptical shapes through the softmax. Equal to the hard-mask loss when
+    probabilities saturate to {0, 1}.
+    """
+    if segmentation_probs.shape[-1] <= foreground_class:
+        return jnp.asarray(0.0, jnp.float32)
+    p_fg = segmentation_probs[..., foreground_class].astype(jnp.float32)
+    return elliptical_shape_loss(p_fg[:, None, :, :], min_pixels, epsilon)
 
 
 def detection_losses(

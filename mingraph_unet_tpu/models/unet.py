@@ -27,25 +27,59 @@ epilogues (verified against a hand-written Pallas fusion in
 
 from __future__ import annotations
 
-from typing import Any, List, Sequence, Tuple
+from typing import Any, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax.numpy as jnp
+
+from mingraph_unet_tpu.ops import s2d as s2d_ops
 
 __all__ = ["ConvBlock", "UNetEncoder", "UNetDecoder", "UNet"]
 
 Dtype = Any
 
 
+class _ConvParams(nn.Module):
+    """Parameter holder with ``nn.Conv``'s exact tree ({kernel, bias}, same
+    shapes and initializers) for paths that apply the kernel in transformed
+    (s2d) form. Keeps checkpoints interchangeable between lowerings."""
+
+    features: int
+    in_features: int
+    kernel_size: Tuple[int, int] = (3, 3)
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (*self.kernel_size, self.in_features, self.features),
+        )
+        bias = self.param("bias", nn.initializers.zeros_init(), (self.features,))
+        return kernel, bias
+
+
 class ConvBlock(nn.Module):
-    """(Conv3x3 same → BN → ReLU) ×2, the universal conv unit."""
+    """(Conv3x3 same → BN → ReLU) ×2, the universal conv unit.
+
+    ``s2d=True`` runs the block in 2×2 space-to-depth layout (input/output
+    are phase-major (B, H/2, W/2, 4C) tensors): an exact reparameterization
+    with 4× fatter channels that saturates the MXU at the U-Net's
+    low-channel levels (see ops/s2d.py). The parameter tree is identical to
+    the standard path. ``s2d_in_groups``: full-res channel widths when the
+    s2d input is a concat of separately-transformed tensors.
+    """
 
     features: int
     use_batchnorm: bool = True
     dtype: Dtype = jnp.float32
+    s2d: bool = False
+    s2d_in_groups: Tuple[int, ...] = ()
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.s2d:
+            return self._call_s2d(x, train)
         for i in range(2):
             x = nn.Conv(
                 self.features,
@@ -68,6 +102,32 @@ class ConvBlock(nn.Module):
             x = nn.relu(x)
         return x
 
+    def _call_s2d(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
+        b, hh, ww, cc = x.shape
+        cin = cc // 4
+        for i in range(2):
+            groups = self.s2d_in_groups if (i == 0 and self.s2d_in_groups) else (cin,)
+            kernel, bias = _ConvParams(self.features, cin, name=f"conv{i + 1}")()
+            k2 = s2d_ops.s2d_conv3x3_kernel(kernel, groups)
+            x = s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2)
+            x = x + s2d_ops.s2d_vector(bias).astype(x.dtype)
+            if self.use_batchnorm:
+                # Per-full-res-channel statistics: fold the 4 phase groups
+                # into the reduction axes so stats/params match the standard
+                # path exactly (shape (C,)).
+                x5 = x.reshape(b, hh, ww, 4, self.features)
+                x5 = nn.BatchNorm(
+                    use_running_average=not train,
+                    momentum=0.9,
+                    epsilon=1e-5,
+                    dtype=self.dtype,
+                    name=f"bn{i + 1}",
+                )(x5)
+                x = x5.reshape(b, hh, ww, 4 * self.features)
+            x = nn.relu(x)
+            cin = self.features
+        return x
+
 
 def _conv_block_cls(remat: bool):
     """ConvBlock, optionally rematerialized: with ``remat=True`` the block's
@@ -80,40 +140,74 @@ def _conv_block_cls(remat: bool):
 
 
 class UNetEncoder(nn.Module):
-    """Downsampling path: ``depth`` ConvBlock+MaxPool stages + bottleneck."""
+    """Downsampling path: ``depth`` ConvBlock+MaxPool stages + bottleneck.
+
+    ``s2d_level0``: run stage 0 in space-to-depth layout (MXU saturation at
+    low channel counts; ops/s2d.py). Returns an extra element: stage 0's
+    pre-pool activations in s2d layout (or None), so the decoder can consume
+    the skip without a relayout round trip.
+    """
 
     init_features: int = 32
     depth: int = 4
     use_batchnorm: bool = True
     dtype: Dtype = jnp.float32
     remat: bool = False
+    s2d_level0: bool = False
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> Tuple[List[jnp.ndarray], jnp.ndarray]:
+    def __call__(
+        self, x: jnp.ndarray, train: bool = False
+    ) -> Tuple[List[jnp.ndarray], jnp.ndarray, Optional[jnp.ndarray]]:
         block_cls = _conv_block_cls(self.remat)
         skips: List[jnp.ndarray] = []
         features = self.init_features
+        skip0_s2d = None
+        use_s2d = self.s2d_level0 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         for i in range(self.depth):
-            x = block_cls(features, self.use_batchnorm, self.dtype, name=f"block{i}")(x, train)
-            skips.append(x)
-            x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+            if i == 0 and use_s2d:
+                x0 = s2d_ops.space_to_depth(x.astype(self.dtype))
+                skip0_s2d = block_cls(
+                    features,
+                    self.use_batchnorm,
+                    self.dtype,
+                    True,  # s2d
+                    (x.shape[-1],),
+                    name="block0",
+                )(x0, train)
+                skips.append(s2d_ops.depth_to_space(skip0_s2d))
+                # MaxPool(2,2) == channelwise max over the phase block.
+                x = s2d_ops.phase_max_pool(skip0_s2d)
+            else:
+                x = block_cls(features, self.use_batchnorm, self.dtype, name=f"block{i}")(x, train)
+                skips.append(x)
+                x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
             features *= 2
         bottleneck = block_cls(features, self.use_batchnorm, self.dtype, name="bottleneck")(x, train)
-        return skips, bottleneck
+        return skips, bottleneck, skip0_s2d
 
 
 class DecoderBlock(nn.Module):
     """ConvTranspose(k=2, s=2) halving channels → pad to skip size → concat
-    [skip, up] → ConvBlock (``model/unet/unet_decoder.py:6-56``)."""
+    [skip, up] → ConvBlock (``model/unet/unet_decoder.py:6-56``).
+
+    ``s2d=True``: the whole block runs in space-to-depth layout — the
+    ConvTranspose becomes a pure matmul producing s2d output directly (no
+    full-resolution pixel shuffle), the skip arrives as an s2d tensor, and
+    the ConvBlock uses grouped-transformed kernels. Returns an s2d tensor.
+    """
 
     out_features: int
     up_features: int  # channels after upsample == in_channels_prev // 2
     use_batchnorm: bool = True
     dtype: Dtype = jnp.float32
     remat: bool = False
+    s2d: bool = False
 
     @nn.compact
     def __call__(self, x_prev: jnp.ndarray, x_skip: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        if self.s2d:
+            return self._call_s2d(x_prev, x_skip, train)
         x_up = nn.ConvTranspose(
             self.up_features,
             kernel_size=(2, 2),
@@ -135,9 +229,39 @@ class DecoderBlock(nn.Module):
         block_cls = _conv_block_cls(self.remat)
         return block_cls(self.out_features, self.use_batchnorm, self.dtype, name="conv_block")(x, train)
 
+    def _call_s2d(self, x_prev: jnp.ndarray, x_skip_s2d: jnp.ndarray, train: bool) -> jnp.ndarray:
+        kernel, bias = _ConvParams(
+            self.up_features, x_prev.shape[-1], kernel_size=(2, 2), name="upsample"
+        )()
+        wt = s2d_ops.s2d_convt2x2_kernel(kernel)  # (Cin, 4·up_features)
+        x_up = x_prev.astype(self.dtype) @ wt.astype(self.dtype)
+        x_up = x_up + s2d_ops.s2d_vector(bias).astype(x_up.dtype)
+        if x_up.shape[:3] != x_skip_s2d.shape[:3]:
+            raise ValueError(
+                "s2d DecoderBlock requires matching skip/up grids "
+                f"(got {x_skip_s2d.shape} vs {x_up.shape}); odd input sizes "
+                "must use the standard path."
+            )
+        skip_c = x_skip_s2d.shape[-1] // 4
+        x = jnp.concatenate([x_skip_s2d.astype(self.dtype), x_up], axis=-1)
+        block_cls = _conv_block_cls(self.remat)
+        return block_cls(
+            self.out_features,
+            self.use_batchnorm,
+            self.dtype,
+            True,  # s2d
+            (skip_c, self.up_features),
+            name="conv_block",
+        )(x, train)
+
 
 class UNetDecoder(nn.Module):
-    """Upsampling path; returns (logits, decoder features shallow→deep)."""
+    """Upsampling path; returns (logits, decoder features shallow→deep).
+
+    ``s2d_level0``: run the last (full-resolution) DecoderBlock in
+    space-to-depth layout; ``skip0_s2d`` (from the encoder) avoids a
+    relayout round trip when provided.
+    """
 
     num_classes: int = 2
     init_features: int = 32
@@ -145,24 +269,52 @@ class UNetDecoder(nn.Module):
     use_batchnorm: bool = True
     dtype: Dtype = jnp.float32
     remat: bool = False
+    s2d_level0: bool = False
 
     @nn.compact
     def __call__(
-        self, skips: Sequence[jnp.ndarray], bottleneck: jnp.ndarray, train: bool = False
+        self,
+        skips: Sequence[jnp.ndarray],
+        bottleneck: jnp.ndarray,
+        train: bool = False,
+        skip0_s2d: Optional[jnp.ndarray] = None,
     ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
         x = bottleneck
         feats_deep_to_shallow: List[jnp.ndarray] = []
         prev_channels = self.init_features * (2**self.depth)
         for j, i in enumerate(reversed(range(self.depth))):
             out_ch = self.init_features * (2**i)
-            x = DecoderBlock(
-                out_features=out_ch,
-                up_features=prev_channels // 2,
-                use_batchnorm=self.use_batchnorm,
-                dtype=self.dtype,
-                remat=self.remat,
-                name=f"block{j}",
-            )(x, skips[i], train)
+            use_s2d = (
+                self.s2d_level0
+                and i == 0
+                and skips[0].shape[1] == 2 * x.shape[1]
+                and skips[0].shape[2] == 2 * x.shape[2]
+            )
+            if use_s2d:
+                skip_s2d = (
+                    skip0_s2d
+                    if skip0_s2d is not None
+                    else s2d_ops.space_to_depth(skips[0])
+                )
+                x = DecoderBlock(
+                    out_features=out_ch,
+                    up_features=prev_channels // 2,
+                    use_batchnorm=self.use_batchnorm,
+                    dtype=self.dtype,
+                    remat=self.remat,
+                    s2d=True,
+                    name=f"block{j}",
+                )(x, skip_s2d, train)
+                x = s2d_ops.depth_to_space(x)
+            else:
+                x = DecoderBlock(
+                    out_features=out_ch,
+                    up_features=prev_channels // 2,
+                    use_batchnorm=self.use_batchnorm,
+                    dtype=self.dtype,
+                    remat=self.remat,
+                    name=f"block{j}",
+                )(x, skips[i], train)
             feats_deep_to_shallow.append(x)
             prev_channels = out_ch
         logits = nn.Conv(
@@ -173,7 +325,14 @@ class UNetDecoder(nn.Module):
 
 
 class UNet(nn.Module):
-    """Full U-Net: ``__call__(x) -> (logits, encoder_skips, f_u)``."""
+    """Full U-Net: ``__call__(x) -> (logits, encoder_skips, f_u)``.
+
+    ``s2d_level0=True`` runs both full-resolution ConvBlocks (encoder stage
+    0 and the last decoder stage) in space-to-depth layout — an exact
+    reparameterization with the identical parameter tree (checkpoints are
+    interchangeable); see ops/s2d.py for the why. Falls back to the
+    standard path for odd input sizes.
+    """
 
     in_channels: int = 3  # informational; NHWC input carries its own C
     num_classes: int = 2
@@ -182,15 +341,17 @@ class UNet(nn.Module):
     use_batchnorm: bool = True
     dtype: Dtype = jnp.float32
     remat: bool = False
+    s2d_level0: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         x = x.astype(self.dtype)
-        skips, bottleneck = UNetEncoder(
-            self.init_features, self.depth, self.use_batchnorm, self.dtype, self.remat, name="encoder"
+        skips, bottleneck, skip0_s2d = UNetEncoder(
+            self.init_features, self.depth, self.use_batchnorm, self.dtype, self.remat,
+            self.s2d_level0, name="encoder"
         )(x, train)
         logits, f_u = UNetDecoder(
             self.num_classes, self.init_features, self.depth, self.use_batchnorm, self.dtype,
-            self.remat, name="decoder"
-        )(skips, bottleneck, train)
+            self.remat, self.s2d_level0, name="decoder"
+        )(skips, bottleneck, train, skip0_s2d=skip0_s2d)
         return logits, skips, f_u

@@ -263,20 +263,27 @@ def augment_pair(
     mask: jnp.ndarray,
     flip_prob: float = 0.5,
     rotation_degrees: float = 15.0,
+    crop_prob: float = 0.0,
 ):
-    """Synced flip + rotation for one (HWC image, HW mask) pair.
+    """Synced flip + rotation (+ optional resized crop) for one (HWC image,
+    HW mask) pair.
 
     The training-mode augmentation chain of the reference
     (``image_preprocess.py:42-51``), applied consistently to both tensors.
+    ``crop_prob`` applies :func:`random_resized_crop` — the knob the
+    reference configures (``preprocessing.yaml`` ``random_crop_prob``) but
+    never wires (``image_preprocess.py:40, 48``).
     Rotation runs on the *unnormalized-or-normalized* image equally well since
     fill is 0; callers that normalize first should accept 0-filled borders in
     normalized space (the torchvision reference rotates pre-normalization with
     0-filled borders in [0,1] space; pass the unnormalized image here and
     normalize afterwards to match).
     """
-    k_flip, k_rot = jax.random.split(key)
+    k_flip, k_rot, k_crop = jax.random.split(key, 3)
     img, mask = random_horizontal_flip(k_flip, img, mask, flip_prob)
     img, mask = random_rotation(k_rot, img, mask, rotation_degrees)
+    if crop_prob > 0.0:
+        img, mask = random_resized_crop(k_crop, img, mask, prob=crop_prob)
     return img, mask
 
 

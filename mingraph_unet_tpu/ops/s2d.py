@@ -1,0 +1,182 @@
+"""Space-to-depth (S2D) conv reparameterization for low-channel U-Net levels.
+
+Why: v5e's MXU needs ~128 output lanes to saturate. The U-Net's level-0
+convs (32 channels at 512²) run at ~21 TFLOP/s under XLA (~11% of bf16
+peak) because Cout=32 fills a quarter of the MXU tile; the *same math*
+expressed on the 2×2 space-to-depth grid — (B, H/2, W/2, 4C) with
+reparameterized kernels — runs its (4× larger) FLOPs at ~190 TFLOP/s,
+a ~2.2× net win, and turns the decoder's ConvTranspose(k2, s2) into a pure
+matmul (no pixel-shuffle data movement at full resolution at all).
+
+Layout convention: **phase-major** — s2d channel index ``ph * C + c`` with
+``ph = py * r + px`` the intra-block phase. Phase-major means concatenating
+two s2d tensors along channels keeps each input a contiguous *group*, so
+skip-connection concats stay exact with per-group kernel transforms
+(:func:`s2d_conv3x3_kernel`'s ``in_groups``).
+
+Exactness: every transform below is an exact reparameterization (same
+multiply-adds, different association order) of the corresponding
+full-resolution op with 'SAME' zero padding. Verified against the direct
+forms in ``tests/test_ops_s2d.py``.
+
+Reference workload shape: ``model/unet/unet_encoder.py:15-25`` (ConvBlock),
+``model/unet/unet_decoder.py:25`` (ConvTranspose k2 s2).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+__all__ = [
+    "space_to_depth",
+    "depth_to_space",
+    "s2d_conv3x3_kernel",
+    "s2d_vector",
+    "s2d_convt2x2_kernel",
+    "s2d_1x1_kernel",
+    "phase_max_pool",
+    "phase_mean",
+    "conv3x3_s2d",
+]
+
+_R = 2  # block size; the U-Net only ever needs 2×2
+
+
+def space_to_depth(x: jnp.ndarray, r: int = _R) -> jnp.ndarray:
+    """(B, H, W, C) → (B, H/r, W/r, r²·C), phase-major channel order."""
+    b, h, w, c = x.shape
+    x = x.reshape(b, h // r, r, w // r, r, c)
+    # (B, H/r, W/r, py, px, C) → phase-major channels
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h // r, w // r, r * r * c)
+
+
+def depth_to_space(y: jnp.ndarray, r: int = _R) -> jnp.ndarray:
+    """Inverse of :func:`space_to_depth` (phase-major channel order)."""
+    b, hh, ww, cc = y.shape
+    c = cc // (r * r)
+    y = y.reshape(b, hh, ww, r, r, c)
+    return y.transpose(0, 1, 3, 2, 4, 5).reshape(b, hh * r, ww * r, c)
+
+
+@lru_cache(maxsize=None)
+def _tap_map(r: int = _R):
+    """Constant mapping for the 3×3 'SAME' conv on the s2d grid.
+
+    Returns int arrays ``(dI, dJ, pyo, pxo, pyi, pxi) -> (u, v, valid)``:
+    output pixel (r·I + pyo) reads input pixel (r·(I+dI) + pyi), which is
+    full-res tap ``u = r·dI + pyi − pyo`` of the original 3×3 kernel; valid
+    iff |u| ≤ 1 (and likewise v).
+    """
+    shape = (3, 3, r, r, r, r)
+    u = np.zeros(shape, np.int64)
+    v = np.zeros(shape, np.int64)
+    valid = np.zeros(shape, bool)
+    for dI in range(-1, 2):
+        for dJ in range(-1, 2):
+            for pyo in range(r):
+                for pxo in range(r):
+                    for pyi in range(r):
+                        for pxi in range(r):
+                            uu = r * dI + pyi - pyo
+                            vv = r * dJ + pxi - pxo
+                            ok = abs(uu) <= 1 and abs(vv) <= 1
+                            idx = (dI + 1, dJ + 1, pyo, pxo, pyi, pxi)
+                            valid[idx] = ok
+                            u[idx] = np.clip(uu + 1, 0, 2)
+                            v[idx] = np.clip(vv + 1, 0, 2)
+    return u, v, valid
+
+
+def s2d_conv3x3_kernel(
+    kernel: jnp.ndarray, in_groups: Sequence[int] = (), r: int = _R
+) -> jnp.ndarray:
+    """Transform a (3, 3, Cin, Cout) 'SAME' conv kernel to its s2d form
+    (3, 3, r²·Cin, r²·Cout).
+
+    ``in_groups``: when the s2d input is a channel-concat of separately
+    s2d-transformed tensors (e.g. [skip, upsampled] in the decoder), pass
+    their full-res channel widths; the transform is applied per group so the
+    phase-major group layout lines up. Empty = single group.
+    """
+    cin = kernel.shape[2]
+    groups = tuple(in_groups) if in_groups else (cin,)
+    assert sum(groups) == cin, (groups, cin)
+    u, v, valid = _tap_map(r)
+    parts = []
+    offset = 0
+    for g in groups:
+        kg = kernel[:, :, offset : offset + g, :]  # (3, 3, g, Cout)
+        offset += g
+        # gathered[dI, dJ, pyo, pxo, pyi, pxi, ci, co] = W[u, v, ci, co]·valid
+        gathered = kg[u, v] * valid[..., None, None].astype(kernel.dtype)
+        # → (3, 3, (pyi, pxi, ci), (pyo, pxo, co))
+        cout = kernel.shape[3]
+        parts.append(
+            gathered.transpose(0, 1, 4, 5, 6, 2, 3, 7).reshape(
+                3, 3, r * r * g, r * r * cout
+            )
+        )
+    if len(parts) == 1:
+        # Cout phase-major ordering is already correct.
+        return parts[0]
+    return jnp.concatenate(parts, axis=2)
+
+
+def s2d_vector(vec: jnp.ndarray, r: int = _R) -> jnp.ndarray:
+    """Tile a per-channel vector (bias / BN scale) to phase-major s2d
+    channels: (C,) → (r²·C,)."""
+    return jnp.tile(vec, r * r)
+
+
+def s2d_convt2x2_kernel(kernel: jnp.ndarray, r: int = _R) -> jnp.ndarray:
+    """Transform a (r, r, Cin, Cout) stride-r 'VALID' ConvTranspose kernel
+    into the (Cin, r²·Cout) matmul producing the s2d-layout output directly:
+    ``y_s2d[I, J, ph·Cout + co] = Σ_ci x[I, J, ci]·K[r−1−py, r−1−px, ci, co]``
+    (flax ``nn.ConvTranspose`` applies the kernel spatially flipped —
+    verified against ``nn.ConvTranspose`` in tests/test_ops_s2d.py)."""
+    rr, rr2, cin, cout = kernel.shape
+    assert rr == r and rr2 == r
+    k = kernel[::-1, ::-1]
+    return k.reshape(r * r, cin, cout).transpose(1, 0, 2).reshape(cin, r * r * cout)
+
+
+def s2d_1x1_kernel(kernel: jnp.ndarray, r: int = _R) -> jnp.ndarray:
+    """(1, 1, Cin, Cout) → block-diagonal (r²·Cin, r²·Cout) per-phase matmul."""
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    eye = jnp.eye(r * r, dtype=kernel.dtype)
+    # out[(ph_i, ci), (ph_o, co)] = eye[ph_i, ph_o] · W[ci, co]
+    return jnp.einsum("pq,io->piqo", eye, kernel[0, 0]).reshape(
+        r * r * cin, r * r * cout
+    )
+
+
+def phase_max_pool(y_s2d: jnp.ndarray, r: int = _R) -> jnp.ndarray:
+    """MaxPool(r, r) of the full-res tensor, computed in s2d layout: the
+    pool window *is* the phase block → channelwise max over phases.
+    (B, H/r, W/r, r²·C) → (B, H/r, W/r, C)."""
+    b, hh, ww, cc = y_s2d.shape
+    c = cc // (r * r)
+    return y_s2d.reshape(b, hh, ww, r * r, c).max(axis=3)
+
+
+def phase_mean(y_s2d: jnp.ndarray, r: int = _R) -> jnp.ndarray:
+    """AvgPool(r, r) analog of :func:`phase_max_pool`."""
+    b, hh, ww, cc = y_s2d.shape
+    c = cc // (r * r)
+    return y_s2d.reshape(b, hh, ww, r * r, c).mean(axis=3)
+
+
+def conv3x3_s2d(x_s2d: jnp.ndarray, kernel_s2d: jnp.ndarray) -> jnp.ndarray:
+    """3×3 'SAME' conv on the s2d grid (NHWC)."""
+    return jax.lax.conv_general_dilated(
+        x_s2d,
+        kernel_s2d.astype(x_s2d.dtype),
+        window_strides=(1, 1),
+        padding="SAME",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )

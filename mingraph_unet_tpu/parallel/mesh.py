@@ -38,19 +38,21 @@ def make_mesh(data_parallel: int = 1, spatial_parallel: int = 1, devices=None) -
     return Mesh(grid, axis_names=("data", "spatial"))
 
 
-def batch_spec(mesh: Mesh, spatial: bool = False) -> P:
+def batch_spec(mesh: Mesh, spatial: bool = False, leading: int = 0) -> P:
     """PartitionSpec for an NHWC (or N...) batch: N over 'data', optionally H
-    over 'spatial'."""
+    over 'spatial'. ``leading`` unsharded leading axes (e.g. a scan-window
+    axis of stacked batches)."""
+    dims = [None] * leading + ["data"]
     if spatial and mesh.shape["spatial"] > 1:
-        return P("data", "spatial")
-    return P("data")
+        dims.append("spatial")
+    return P(*dims)
 
 
-def shard_batch(x: jax.Array, mesh: Mesh, spatial: bool = False) -> jax.Array:
+def shard_batch(x: jax.Array, mesh: Mesh, spatial: bool = False, leading: int = 0) -> jax.Array:
     """Place a batch array with its mesh sharding (no-op on a 1×1 mesh)."""
     if mesh.shape["data"] == 1 and mesh.shape["spatial"] == 1:
         return x
-    spec = batch_spec(mesh, spatial)
+    spec = batch_spec(mesh, spatial, leading)
     return jax.device_put(x, NamedSharding(mesh, spec))
 
 

@@ -22,7 +22,7 @@ import optax
 
 from mingraph_unet_tpu.config import TrainingConfig
 
-__all__ = ["TrainState", "make_optimizer", "make_lr_schedule"]
+__all__ = ["TrainState", "make_optimizer", "make_lr_schedule", "make_multistep"]
 
 
 class TrainState(flax.struct.PyTreeNode):
@@ -58,6 +58,32 @@ class TrainState(flax.struct.PyTreeNode):
             opt_state=new_opt_state,
             step=self.step + 1,
         )
+
+
+def make_multistep(train_step, window: int):
+    """Device-resident multi-step window: ``lax.scan`` over ``window``
+    pre-staged batches inside ONE jitted call (SURVEY §7's "double-buffered
+    input pipeline" role on the relay: one host dispatch + one metrics fetch
+    per window instead of per step — the host round trip costs ~0.3 s/step
+    over the tunnel vs ~40 ms of compute).
+
+    ``train_step(state, images, masks, key) -> (state, aux)`` becomes
+    ``multistep(state, images (K, B, ...), masks (K, B, ...), key)
+    -> (state, aux averaged over the window)``.
+    """
+
+    def multistep(state: TrainState, images, masks, key):
+        keys = jax.random.split(key, window)
+
+        def body(st, xs):
+            imgs, msks, k = xs
+            st, aux = train_step(st, imgs, msks, k)
+            return st, aux
+
+        state, auxs = jax.lax.scan(body, state, (images, masks, keys))
+        return state, jax.tree_util.tree_map(lambda a: a.mean(0), auxs)
+
+    return multistep
 
 
 def make_lr_schedule(cfg: TrainingConfig, steps_per_epoch: int) -> optax.Schedule:

@@ -46,7 +46,7 @@ from mingraph_unet_tpu.models.pipeline import MinGraphUNet
 from mingraph_unet_tpu.ops.patches import patch_reduce_mean
 from mingraph_unet_tpu.parallel.mesh import make_mesh, shard_batch
 from mingraph_unet_tpu.train.checkpoint import CheckpointManager
-from mingraph_unet_tpu.train.common import TrainState, make_optimizer
+from mingraph_unet_tpu.train.common import TrainState, make_multistep, make_optimizer
 from mingraph_unet_tpu.utils.logging import MetricsLogger
 
 __all__ = ["build_mingraph_unet", "gt_union_box", "make_e2e_train_step", "train_end_to_end"]
@@ -60,6 +60,7 @@ def build_mingraph_unet(cfg: PipelineConfig, dtype=None) -> MinGraphUNet:
         depth=m.unet.depth,
         use_batchnorm=m.unet.use_batchnorm,
         remat=m.unet.remat,
+        unet_s2d_level0=m.unet.s2d_level0,
         patch_size=m.graph_construction.patch_size,
         unet_patch_feature_dim=m.graph_construction.unet_patch_feature_dim,
         sobel_kernel_size=cfg.preprocessing.sobel_kernel_size,
@@ -122,6 +123,7 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
                 pre.normalization_mean, pre.normalization_std,
                 augment=augment, flip_prob=pre.horizontal_flip_prob,
                 rotation_degrees=pre.rotation_degrees,
+                crop_prob=pre.random_crop_prob,
             )
             out, new_model_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -151,7 +153,9 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
             l_partition = out["l_partition"].mean()
 
             probs = jax.nn.softmax(logits, axis=-1)
-            l_shape = losses.elliptical_shape_loss_from_probs(probs)
+            # Soft-mask moments: ∂L_shape/∂probs exists, so λ1 actually
+            # trains (round-1 used the hard-argmax form, gradient-free).
+            l_shape = losses.elliptical_shape_loss_soft(probs)
             l_smooth = losses.total_variation_loss(probs[..., 1:2])
 
             total = (
@@ -258,7 +262,14 @@ def train_end_to_end(
         state = TrainState.create(variables, tx)
 
     train_step = make_e2e_train_step(model, tx, cfg, augment=True, train_detection=train_detection)
-    jit_step = jax.jit(train_step, donate_argnums=(0,) if train_cfg.donate_buffers else ())
+    donate = (0,) if train_cfg.donate_buffers else ()
+    jit_step = jax.jit(train_step, donate_argnums=donate)
+    window = max(1, train_cfg.scan_window)
+    jit_window = (
+        jax.jit(make_multistep(train_step, window), donate_argnums=donate)
+        if window > 1
+        else None
+    )
 
     num_epochs = max_epochs if max_epochs is not None else train_cfg.num_epochs
     logger = MetricsLogger(train_cfg.log_dir, "train_end_to_end", train_cfg.log_interval)
@@ -279,25 +290,57 @@ def train_end_to_end(
                 if train_cfg.num_workers > 0
                 else loader.epoch(epoch)
             )
+            def run_batches(batches):
+                """Consume buffered host batches: full windows through the
+                scanned multi-step (ONE dispatch + ONE metrics fetch per
+                window — the host round trip costs ~0.3 s over the relay),
+                remainder singly."""
+                nonlocal state, n_steps, global_step, loop_key
+                i = 0
+                while i < len(batches):
+                    loop_key, step_key = jax.random.split(loop_key)
+                    if jit_window is not None and len(batches) - i >= window:
+                        chunk = batches[i : i + window]
+                        imgs = shard_batch(
+                            jnp.asarray(np.stack([b[0] for b in chunk])), mesh, leading=1
+                        )
+                        masks = shard_batch(
+                            jnp.asarray(np.stack([b[1] for b in chunk])), mesh, leading=1
+                        )
+                        state, aux = jit_window(state, imgs, masks, step_key)
+                        done = window
+                    else:
+                        imgs_np, masks_np = batches[i]
+                        imgs = shard_batch(jnp.asarray(imgs_np), mesh)
+                        masks = shard_batch(jnp.asarray(masks_np), mesh)
+                        state, aux = jit_step(state, imgs, masks, step_key)
+                        done = 1
+                    i += done
+                    n_steps += done
+                    global_step += done
+                    # One device→host transfer for all metrics (per-scalar
+                    # float() costs a relay round trip each; windows average
+                    # their K steps on device).
+                    aux_np = jax.device_get(aux)
+                    for k, v in aux_np.items():
+                        running[k] = running.get(k, 0.0) + float(v) * done
+                    logger.log(
+                        global_step,
+                        {**{k: float(v) for k, v in aux_np.items()},
+                         "lr": epoch_lr, "epoch": epoch},
+                    )
+
+            buf: list = []
             for imgs_np, masks_np in epoch_iter:
-                if n_steps >= steps_per_epoch:
+                if n_steps + len(buf) >= steps_per_epoch:
                     break
-                loop_key, step_key = jax.random.split(loop_key)
-                imgs = shard_batch(jnp.asarray(imgs_np), mesh)
-                masks = shard_batch(jnp.asarray(masks_np), mesh)
-                state, aux = jit_step(state, imgs, masks, step_key)
-                n_steps += 1
-                global_step += 1
-                # One device→host transfer for all metrics (per-scalar
-                # float() costs a relay round trip each).
-                aux_np = jax.device_get(aux)
-                for k, v in aux_np.items():
-                    running[k] = running.get(k, 0.0) + float(v)
-                logger.log(
-                    global_step,
-                    {**{k: float(v) for k, v in aux_np.items()},
-                     "lr": epoch_lr, "epoch": epoch},
-                )
+                buf.append((imgs_np, masks_np))
+                if len(buf) == window:
+                    run_batches(buf)
+                    buf = []
+            if buf:
+                run_batches(buf)
+                buf = []
             epoch_loss = running.get("total", 0.0) / max(1, n_steps)
             history["epoch_loss"].append(epoch_loss)
             avg = {k: v / max(1, n_steps) for k, v in running.items()}

@@ -29,7 +29,7 @@ from mingraph_unet_tpu.models import losses
 from mingraph_unet_tpu.models.unet import UNet
 from mingraph_unet_tpu.parallel.mesh import make_mesh, shard_batch
 from mingraph_unet_tpu.train.checkpoint import CheckpointManager
-from mingraph_unet_tpu.train.common import TrainState, make_optimizer
+from mingraph_unet_tpu.train.common import TrainState, make_multistep, make_optimizer
 from mingraph_unet_tpu.utils.logging import MetricsLogger
 
 __all__ = ["build_unet", "make_train_step", "train_unet_segmentation", "evaluate_unet"]
@@ -44,6 +44,7 @@ def build_unet(cfg: PipelineConfig, dtype=None) -> UNet:
         depth=u.depth,
         use_batchnorm=u.use_batchnorm,
         remat=u.remat,
+        s2d_level0=u.s2d_level0,
         dtype=dtype if dtype is not None else (jnp.bfloat16 if cfg.training.bf16 else jnp.float32),
     )
 
@@ -63,6 +64,7 @@ def make_train_step(model: UNet, tx, cfg: PipelineConfig, augment: bool = True):
                 augment=augment,
                 flip_prob=pre.horizontal_flip_prob,
                 rotation_degrees=pre.rotation_degrees,
+                crop_prob=pre.random_crop_prob,
             )
             (logits, _, _), new_model_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
@@ -144,6 +146,12 @@ def train_unet_segmentation(
     train_step = make_train_step(model, tx, cfg, augment=True)
     donate = (0,) if train_cfg.donate_buffers else ()
     jit_step = jax.jit(train_step, donate_argnums=donate)
+    window = max(1, train_cfg.scan_window)
+    jit_window = (
+        jax.jit(make_multistep(train_step, window), donate_argnums=donate)
+        if window > 1
+        else None
+    )
 
     num_epochs = max_epochs if max_epochs is not None else train_cfg.num_epochs
     logger = MetricsLogger(train_cfg.log_dir, "train_segmentation", train_cfg.log_interval)
@@ -164,23 +172,51 @@ def train_unet_segmentation(
                 if train_cfg.num_workers > 0
                 else loader.epoch(epoch)
             )
+            def run_batches(batches):
+                """Full windows through the scanned multi-step (one dispatch
+                + one metrics fetch per window), remainder singly."""
+                nonlocal state, n_steps, global_step, loop_key
+                i = 0
+                while i < len(batches):
+                    loop_key, step_key = jax.random.split(loop_key)
+                    if jit_window is not None and len(batches) - i >= window:
+                        chunk = batches[i : i + window]
+                        imgs = shard_batch(
+                            jnp.asarray(np.stack([b[0] for b in chunk])), mesh, leading=1
+                        )
+                        masks = shard_batch(
+                            jnp.asarray(np.stack([b[1] for b in chunk])), mesh, leading=1
+                        )
+                        state, metrics = jit_window(state, imgs, masks, step_key)
+                        done = window
+                    else:
+                        imgs = shard_batch(jnp.asarray(batches[i][0]), mesh)
+                        masks = shard_batch(jnp.asarray(batches[i][1]), mesh)
+                        state, metrics = jit_step(state, imgs, masks, step_key)
+                        done = 1
+                    i += done
+                    n_steps += done
+                    global_step += done
+                    # One device→host transfer for all metrics (per-scalar
+                    # float() costs a relay round trip each).
+                    metrics_np = jax.device_get(metrics)
+                    for k in running:
+                        running[k] += float(metrics_np[k]) * done
+                    logger.log(global_step, {**{k: float(v) for k, v in metrics_np.items()},
+                                             "lr": epoch_lr,
+                                             "epoch": epoch})
+
+            buf = []
             for imgs_np, masks_np in epoch_iter:
-                if n_steps >= steps_per_epoch:
+                if n_steps + len(buf) >= steps_per_epoch:
                     break
-                loop_key, step_key = jax.random.split(loop_key)
-                imgs = shard_batch(jnp.asarray(imgs_np), mesh)
-                masks = shard_batch(jnp.asarray(masks_np), mesh)
-                state, metrics = jit_step(state, imgs, masks, step_key)
-                n_steps += 1
-                global_step += 1
-                # One device→host transfer for all metrics (per-scalar
-                # float() costs a relay round trip each).
-                metrics_np = jax.device_get(metrics)
-                for k in running:
-                    running[k] += float(metrics_np[k])
-                logger.log(global_step, {**{k: float(v) for k, v in metrics_np.items()},
-                                         "lr": epoch_lr,
-                                         "epoch": epoch})
+                buf.append((imgs_np, masks_np))
+                if len(buf) == window:
+                    run_batches(buf)
+                    buf = []
+            if buf:
+                run_batches(buf)
+                buf = []
             epoch_loss = running["loss"] / max(1, n_steps)
             history["epoch_loss"].append(epoch_loss)
             print(f"[train] epoch {epoch + 1}/{num_epochs} avg_loss={epoch_loss:.4f}")

@@ -166,7 +166,7 @@ def exp_histeq():
 
 
 def exp_unet():
-    """U-Net lowering variants."""
+    """U-Net lowering variants: standard vs s2d level-0."""
     setup()
     import jax
     import jax.numpy as jnp
@@ -174,14 +174,102 @@ def exp_unet():
     from mingraph_unet_tpu.models.unet import UNet
 
     x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
-    unet = UNet(dtype=jnp.bfloat16)
-    uv = jax.jit(unet.init)(jax.random.key(0), x)
+    for s2d in (False, True):
+        unet = UNet(dtype=jnp.bfloat16, s2d_level0=s2d)
+        uv = jax.jit(unet.init)(jax.random.key(0), x)
 
-    def unet_fwd(uv, x, c):
-        logits, skips, f_u = unet.apply(uv, x + c * 1e-12, train=False)
-        return logits.sum()
+        def unet_fwd(uv, x, c, unet=unet):
+            logits, skips, f_u = unet.apply(uv, x + c * 1e-12, train=False)
+            return logits.sum()
 
-    timed_loop(unet_fwd, (uv, x), label="U-Net bf16 (baseline)")
+        timed_loop(unet_fwd, (uv, x), label=f"U-Net bf16 s2d_level0={s2d}")
+
+
+def exp_full():
+    """Full pipeline: round-1 config vs round-2 (s2d + det pre-pool + pallas
+    histeq), in one process."""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.models.pipeline import MinGraphUNet
+
+    x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
+    variants = [
+        ("round-1 (exact det, no s2d)", dict(unet_s2d_level0=False)),
+        ("round-2 (s2d + det pre-pool 32)", dict(detection_pre_pool=32)),
+    ]
+    for label, kw in variants:
+        model = MinGraphUNet(dtype=jnp.bfloat16, **kw)
+        variables = jax.jit(model.init)(jax.random.key(0), x)
+
+        def full(variables, x, c, model=model):
+            out = model.apply(variables, x + c * 1e-12, train=False)
+            return out["logits"].sum() + out["pred_confidence"].sum()
+
+        ms = timed_loop(full, (variables, x), label=f"full pipeline {label}")
+        print(f"      -> {BATCH / ms * 1e3:.0f} images/s")
+
+
+def exp_train():
+    """Training wall-clock: per-step dispatch vs scan_window=8 (128² b16 e2e),
+    including host→device batch transfer and the metrics fetch."""
+    setup()
+    import numpy as np
+
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.config import PipelineConfig
+    from mingraph_unet_tpu.train.common import TrainState, make_multistep, make_optimizer
+    from mingraph_unet_tpu.train.end_to_end import build_mingraph_unet, make_e2e_train_step
+
+    import dataclasses
+
+    cfg = PipelineConfig()
+    cfg.preprocessing = dataclasses.replace(cfg.preprocessing, resize_dim=(128, 128))
+    cfg.training = dataclasses.replace(cfg.training, batch_size=16, bf16=True)
+    model = build_mingraph_unet(cfg)
+    tx, _ = make_optimizer(cfg.training, 1)
+    rng = np.random.default_rng(0)
+    imgs_np = rng.integers(0, 255, (16, 128, 128, 3), np.uint8)
+    masks_np = rng.integers(0, 2, (16, 128, 128), np.int32)
+
+    variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((16, 128, 128, 3), jnp.float32))
+    state0 = TrainState.create(variables, tx)
+    step = make_e2e_train_step(model, tx, cfg, augment=True)
+    jit_step = jax.jit(step, donate_argnums=(0,))
+    W = 8
+    jit_window = jax.jit(make_multistep(step, W), donate_argnums=(0,))
+
+    def run_single(state, n):
+        for i in range(n):
+            imgs = jnp.asarray(imgs_np)
+            masks = jnp.asarray(masks_np)
+            state, aux = jit_step(state, imgs, masks, jax.random.key(i))
+            jax.device_get(aux)
+        return state
+
+    def run_window(state, n):
+        for i in range(n // W):
+            imgs = jnp.asarray(np.stack([imgs_np] * W))
+            masks = jnp.asarray(np.stack([masks_np] * W))
+            state, aux = jit_window(state, imgs, masks, jax.random.key(i))
+            jax.device_get(aux)
+        return state
+
+    state = run_single(state0, 2)  # compile
+    t0 = time.perf_counter()
+    state = run_single(state, 16)
+    t_single = (time.perf_counter() - t0) / 16
+    print(f"[lab] e2e train 128² b16 per-step dispatch        {t_single * 1e3:8.1f} ms/step")
+
+    state = run_window(state, W)  # compile
+    t0 = time.perf_counter()
+    state = run_window(state, 16)
+    t_window = (time.perf_counter() - t0) / 16
+    print(f"[lab] e2e train 128² b16 scan_window={W}            {t_window * 1e3:8.1f} ms/step")
+    print(f"      -> {t_single / t_window:.1f}x wall-clock")
 
 
 def exp_convs():
@@ -293,6 +381,8 @@ if __name__ == "__main__":
         "detpool": exp_detpool,
         "histeq": exp_histeq,
         "unet": exp_unet,
+        "full": exp_full,
+        "train": exp_train,
         "convs": exp_convs,
         "convchain": exp_convchain,
         "convt": exp_convt,

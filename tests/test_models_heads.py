@@ -253,3 +253,50 @@ class TestShapeLoss:
         probs[0, mask, 0] = 0.2
         loss = losses.elliptical_shape_loss_from_probs(jnp.asarray(probs))
         assert float(loss) >= 0
+
+
+class TestSoftShapeLoss:
+    """elliptical_shape_loss_soft: gradient flows (round-1 weak #4) and
+    matches the hard-mask loss when probabilities saturate."""
+
+    def _square_logits(self, h=32, w=32, lo=-4.0, hi=4.0):
+        logits = np.zeros((1, h, w, 2), np.float32)
+        logits[..., 1] = lo
+        logits[0, 8:24, 8:24, 1] = hi
+        return jnp.asarray(logits)
+
+    def test_gradient_nonzero_vs_hard_zero(self):
+        logits = self._square_logits()
+
+        def soft(lg):
+            return losses.elliptical_shape_loss_soft(jax.nn.softmax(lg, axis=-1))
+
+        def hard(lg):
+            return losses.elliptical_shape_loss_from_probs(jax.nn.softmax(lg, axis=-1))
+
+        g_soft = jax.grad(soft)(logits)
+        g_hard = jax.grad(hard)(logits)
+        assert float(jnp.abs(g_soft).sum()) > 0
+        np.testing.assert_allclose(np.asarray(g_hard), 0.0)
+
+    def test_matches_hard_when_saturated(self):
+        logits = self._square_logits(lo=-50.0, hi=50.0)
+        probs = jax.nn.softmax(logits, axis=-1)
+        soft = losses.elliptical_shape_loss_soft(probs)
+        hard = losses.elliptical_shape_loss_from_probs(probs)
+        np.testing.assert_allclose(float(soft), float(hard), rtol=1e-4)
+
+    def test_training_decreases_loss(self):
+        """Gradient descent on the logits with λ1>0 reduces L_shape from a
+        square blob toward an ellipse."""
+        logits = self._square_logits()
+
+        def loss_fn(lg):
+            return losses.elliptical_shape_loss_soft(jax.nn.softmax(lg, axis=-1))
+
+        step = jax.jit(lambda lg: lg - 50.0 * jax.grad(loss_fn)(lg))
+        l0 = float(loss_fn(logits))
+        for _ in range(20):
+            logits = step(logits)
+        l1 = float(loss_fn(logits))
+        assert l1 < l0 * 0.9, (l0, l1)

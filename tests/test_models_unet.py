@@ -19,7 +19,7 @@ class TestShapes:
         enc = UNetEncoder(init_features=32, depth=4)
         x = jnp.zeros((2, 32, 32, 3))
         variables = jax.eval_shape(lambda: enc.init(jax.random.key(0), x))
-        skips, bottleneck = jax.eval_shape(
+        skips, bottleneck, _ = jax.eval_shape(
             lambda v: enc.apply(v, x), variables
         )
         expected = [(2, 32, 32, 32), (2, 16, 16, 64), (2, 8, 8, 128), (2, 4, 4, 256)]
@@ -30,7 +30,7 @@ class TestShapes:
         enc = UNetEncoder(init_features=64, depth=2)
         x = jnp.zeros((2, 32, 32, 3))
         variables = jax.eval_shape(lambda: enc.init(jax.random.key(0), x))
-        skips, bottleneck = jax.eval_shape(lambda v: enc.apply(v, x), variables)
+        skips, bottleneck, _ = jax.eval_shape(lambda v: enc.apply(v, x), variables)
         assert [s.shape for s in skips] == [(2, 32, 32, 64), (2, 16, 16, 128)]
         assert bottleneck.shape == (2, 8, 8, 256)
 

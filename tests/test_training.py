@@ -103,6 +103,62 @@ class TestSegmentationTrainer:
         assert history["epoch_loss"][-1] < history["epoch_loss"][0] * 0.9
 
 
+class TestMultistepWindow:
+    def test_multistep_equals_sequential(self):
+        """lax.scan window == sequential application of the same step fn
+        with the same per-step keys."""
+        import optax
+
+        from mingraph_unet_tpu.train.common import make_multistep
+
+        tx = optax.sgd(0.1)
+        state = TrainState.create({"params": {"w": jnp.array([1.0, -1.0, 0.5])}}, tx)
+
+        def train_step(st, imgs, masks, key):
+            def loss_fn(p):
+                noise = jax.random.normal(key, (3,)) * 0.01
+                return ((p["w"] * imgs.mean() + noise - masks.mean()) ** 2).sum()
+
+            loss, g = jax.value_and_grad(loss_fn)(st.params)
+            return st.apply_updates(tx, g), {"loss": loss}
+
+        k = 3
+        imgs = jnp.asarray(np.random.default_rng(0).random((k, 2, 4)), jnp.float32)
+        masks = jnp.asarray(np.random.default_rng(1).random((k, 2, 4)), jnp.float32)
+        key = jax.random.key(42)
+
+        multi = make_multistep(train_step, k)
+        m_state, m_aux = jax.jit(multi)(state, imgs, masks, key)
+
+        seq_state = state
+        losses_seq = []
+        for i, kk in enumerate(jax.random.split(key, k)):
+            seq_state, aux = train_step(seq_state, imgs[i], masks[i], kk)
+            losses_seq.append(float(aux["loss"]))
+        np.testing.assert_allclose(
+            np.asarray(m_state.params["w"]), np.asarray(seq_state.params["w"]), atol=1e-6
+        )
+        assert int(m_state.step) == k
+        np.testing.assert_allclose(float(m_aux["loss"]), np.mean(losses_seq), rtol=1e-6)
+
+    def test_trainer_with_scan_window(self, tmp_path):
+        """scan_window=2 trains to the same step count (windows + remainder)."""
+        import yaml
+
+        from mingraph_unet_tpu.train.segmentation import train_unet_segmentation
+
+        cfg_dir = make_dummy_run(
+            str(tmp_path), num_images=6, image_size=(32, 32), batch_size=2,
+            num_epochs=1, patch_size=8, init_features=4, depth=2,
+        )
+        tc = yaml.safe_load(open(os.path.join(cfg_dir, "training.yaml")))
+        tc["scan_window"] = 2
+        yaml.safe_dump(tc, open(os.path.join(cfg_dir, "training.yaml"), "w"))
+        state, history = train_unet_segmentation(cfg_dir, max_epochs=1)
+        assert int(state.step) == 3  # 3 steps: one window of 2 + remainder 1
+        assert np.isfinite(history["epoch_loss"][0])
+
+
 class TestEndToEndTrainer:
     def test_e2e_step_and_checkpoint(self, tmp_path):
         from mingraph_unet_tpu.train.end_to_end import train_end_to_end
