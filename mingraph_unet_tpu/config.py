@@ -130,6 +130,11 @@ class DatasetConfig:
     num_classes: int = 2
     num_semantic_regions: int = 2
     num_detection_classes: int = 1
+    # COCO-style instance annotations (data/annotations.py): enables
+    # per-instance GT for the dense detection head and the shape loss's
+    # intended instance path (reference shape_loss.py:150-180). Relative
+    # paths resolve under data_root/train_dir.
+    annotations_file: Optional[str] = None
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "DatasetConfig":

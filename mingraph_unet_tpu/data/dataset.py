@@ -100,6 +100,8 @@ class MangoDataset:
         strict: bool = True,
         use_native: bool = False,
         native_threads: int = 4,
+        annotations_file: Optional[str] = None,
+        max_instances: int = 16,
     ):
         self.image_dir = image_dir
         self.mask_dir = mask_dir
@@ -108,6 +110,12 @@ class MangoDataset:
         self.strict = strict
         self.use_native = use_native
         self.native_threads = native_threads
+        self.max_instances = max_instances
+        self.annotations = None
+        if annotations_file:
+            from mingraph_unet_tpu.data.annotations import CocoAnnotations
+
+            self.annotations = CocoAnnotations(annotations_file)
 
         self.image_paths: List[str] = sorted(
             p for ext in self.IMAGE_EXTS for p in glob.glob(os.path.join(image_dir, ext))
@@ -137,16 +145,29 @@ class MangoDataset:
     def __len__(self) -> int:
         return len(self.image_paths)
 
-    def __getitem__(self, idx: int) -> Tuple[np.ndarray, np.ndarray]:
-        """Returns (uint8 HWC RGB image, int32 HW mask) at ``image_size``."""
+    def __getitem__(self, idx: int):
+        """Returns (uint8 HWC RGB image, int32 HW mask) at ``image_size``,
+        plus uint8 (O, H, W) instance masks when ``annotations_file`` is set
+        (semantic mask := instance union when no mask dir exists)."""
         try:
             img = _resize_image(load_image_rgb(self.image_paths[idx]), self.image_size)
+            inst = None
+            if self.annotations is not None:
+                image_id = self.annotations.id_for_file(self.image_paths[idx])
+                if image_id is not None:
+                    inst = self.annotations.instance_masks_for(
+                        image_id, self.image_size, self.max_instances
+                    )
+                else:
+                    inst = np.zeros((self.max_instances, *self.image_size), np.uint8)
             if self.mask_paths is not None:
                 mask = _resize_mask(load_mask(self.mask_paths[idx]), self.image_size)
                 mask = np.clip(mask, 0, self.num_classes - 1).astype(np.int32)
+            elif inst is not None:
+                mask = inst.any(axis=0).astype(np.int32)  # foreground = class 1
             else:
                 mask = np.zeros(self.image_size, np.int32)
-            return img, mask
+            return (img, mask) if inst is None else (img, mask, inst)
         except Exception:
             if self.strict:
                 raise
@@ -154,10 +175,13 @@ class MangoDataset:
                 f"[MangoDataset] WARNING: failed to load item {idx} "
                 f"({self.image_paths[idx]!r}); substituting zeros."
             )
-            return (
+            zeros = (
                 np.zeros((*self.image_size, 3), np.uint8),
                 np.zeros(self.image_size, np.int32),
             )
+            if self.annotations is not None:
+                return (*zeros, np.zeros((self.max_instances, *self.image_size), np.uint8))
+            return zeros
 
 
 class BatchLoader:
@@ -198,8 +222,8 @@ class BatchLoader:
             if batch is not None:
                 yield batch
             else:
-                imgs, masks = zip(*(self.dataset[int(i)] for i in idxs))
-                yield np.stack(imgs), np.stack(masks)
+                cols = list(zip(*(self.dataset[int(i)] for i in idxs)))
+                yield tuple(np.stack(c) for c in cols)
 
     def prefetch_epoch(
         self, epoch_idx: int = 0, prefetch: int = 2
@@ -241,6 +265,8 @@ class BatchLoader:
         """Batch decode through the C++ thread-pool loader (PNG only);
         returns None to fall back to the per-item cv2 path."""
         ds = self.dataset
+        if ds.annotations is not None:  # instance batches use the python path
+            return None
         img_paths = [ds.image_paths[int(i)] for i in idxs]
         if not all(p.lower().endswith(".png") for p in img_paths):
             return None
@@ -272,12 +298,16 @@ def device_preprocess_batch(
     flip_prob: float = 0.5,
     rotation_degrees: float = 15.0,
     crop_prob: float = 0.0,
+    instances=None,
 ):
     """On-device batch preprocessing: (optional synced augment) + normalize.
 
     Designed to live inside the jitted train step. ``images_u8`` (B, H, W, 3)
     uint8; ``masks`` (B, H, W) int. Returns float32 normalized images and the
-    (possibly augmented) masks.
+    (possibly augmented) masks — plus augmented ``instances`` (B, O, H, W)
+    when given: each instance channel receives the *same* geometric
+    transform as its image (same per-image PRNG key), keeping instance GT
+    aligned with the pixels.
     """
     import jax
     import jax.numpy as jnp
@@ -287,7 +317,22 @@ def device_preprocess_batch(
     imgs = images_u8.astype(jnp.float32) / 255.0
     if augment:
         keys = jax.random.split(key, imgs.shape[0])
+        raw_imgs = imgs
         imgs, masks = jax.vmap(
             lambda k, i, m: augment_pair(k, i, m, flip_prob, rotation_degrees, crop_prob)
         )(keys, imgs, masks)
-    return normalize(imgs, mean, std), masks
+        if instances is not None:
+            def aug_channels(k, img_i, inst_i):  # inst_i (O, H, W)
+                return jax.vmap(
+                    lambda m: augment_pair(
+                        k, img_i, m, flip_prob, rotation_degrees, crop_prob
+                    )[1]
+                )(inst_i)
+
+            instances = jax.vmap(aug_channels)(keys, raw_imgs, instances.astype(jnp.int32))
+    elif instances is not None:
+        instances = instances.astype(jnp.int32)
+    out_imgs = normalize(imgs, mean, std)
+    if instances is not None:
+        return out_imgs, masks, instances
+    return out_imgs, masks

@@ -181,12 +181,24 @@ def evaluate_yield_model(
     num_images: int = 8,
     seed: int = 0,
     ablation: Optional[Dict[str, bool]] = None,
+    image_dir: Optional[str] = None,
+    ann_file: Optional[str] = None,
 ) -> Dict[str, float]:
     """Evaluate counting/yield metrics. ``model_type``: 'mock' reproduces the
     reference's MockDetector path; 'unet'/'mingraph-unet' run the real
     segmentation-instancing detector. ``ablation`` overrides the pipeline's
-    stage toggles (Table-3 variants; see experiments/ablation_study.py)."""
-    dataset = DummyYieldDataset(num_images=num_images, seed=seed)
+    stage toggles (Table-3 variants; see experiments/ablation_study.py).
+    ``image_dir``+``ann_file`` evaluate on real files with COCO-style
+    annotations (``data/annotations.py``) instead of the reference's Dummy
+    dataset; ``num_images`` caps the evaluated count."""
+    if image_dir and ann_file:
+        from mingraph_unet_tpu.data.annotations import YieldImageDataset
+
+        dataset = YieldImageDataset(image_dir, ann_file)
+        if num_images and num_images < len(dataset):
+            dataset.items = dataset.items[:num_images]
+    else:
+        dataset = DummyYieldDataset(num_images=num_images, seed=seed)
     if model_type == "mock":
         detector = MockDetector(seed=seed)
     else:
@@ -215,13 +227,18 @@ def main():
     parser.add_argument("--weights_path", default=None)
     parser.add_argument("--model_type", default="mock")
     parser.add_argument("--num_images", type=int, default=8)
+    parser.add_argument("--image_dir", default=None, help="real-image eval dir")
+    parser.add_argument("--ann_file", default=None, help="COCO-style annotation JSON")
     parser.add_argument("--cpu", action="store_true")
     args = parser.parse_args()
 
     from mingraph_unet_tpu.utils.env import setup_host
 
     setup_host(force_cpu=args.cpu)
-    evaluate_yield_model(args.config_path, args.weights_path, args.model_type, args.num_images)
+    evaluate_yield_model(
+        args.config_path, args.weights_path, args.model_type, args.num_images,
+        image_dir=args.image_dir, ann_file=args.ann_file,
+    )
 
 
 if __name__ == "__main__":

@@ -1,13 +1,19 @@
 """Mesh construction and batch sharding helpers.
 
-Axes:
-- ``data``: batch-dimension data parallelism. Gradients all-reduce over ICI
-  (``psum`` inserted by the XLA SPMD partitioner — no NCCL-style code).
+Axes (outermost first):
+- ``dcn``: cross-slice data parallelism for multi-slice pods. The axis is
+  outermost so consecutive devices (one ICI slice) stay contiguous on the
+  inner axes and the cross-slice gradient all-reduce is the only traffic
+  that rides DCN (SURVEY §5 "DCN axis for multi-slice"). Size 1 (the
+  default) is a no-op single-slice mesh.
+- ``data``: batch-dimension data parallelism within a slice. Gradients
+  all-reduce over ICI (``psum`` inserted by the XLA SPMD partitioner — no
+  NCCL-style code).
 - ``spatial``: image H-axis sharding for large scenes (the vision analog of
   sequence parallelism). XLA's spatial partitioner inserts conv halo
   exchanges automatically when inputs are annotated along H.
 
-Single-device defaults to a trivial 1×1 mesh so all trainers run unchanged
+Single-device defaults to a trivial 1×1×1 mesh so all trainers run unchanged
 on one chip.
 """
 
@@ -22,35 +28,51 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 __all__ = ["make_mesh", "shard_batch", "replicate", "batch_spec"]
 
 
-def make_mesh(data_parallel: int = 1, spatial_parallel: int = 1, devices=None) -> Mesh:
-    """Build a (data, spatial) mesh. ``data_parallel=0`` means 'all devices
-    on the data axis'."""
+def make_mesh(
+    data_parallel: int = 1,
+    spatial_parallel: int = 1,
+    dcn_parallel: int = 1,
+    devices=None,
+) -> Mesh:
+    """Build a (dcn, data, spatial) mesh. ``data_parallel=0`` means 'all
+    remaining devices on the data axis'."""
     devs = np.asarray(devices if devices is not None else jax.devices())
+    dcn_parallel = max(1, dcn_parallel)
     if data_parallel == 0:
-        data_parallel = len(devs) // max(1, spatial_parallel)
-    need = data_parallel * spatial_parallel
+        data_parallel = len(devs) // max(1, spatial_parallel) // dcn_parallel
+    need = dcn_parallel * data_parallel * spatial_parallel
     if need > len(devs):
         raise ValueError(
-            f"Mesh {data_parallel}x{spatial_parallel} needs {need} devices, "
-            f"only {len(devs)} available."
+            f"Mesh {dcn_parallel}x{data_parallel}x{spatial_parallel} needs "
+            f"{need} devices, only {len(devs)} available."
         )
-    grid = devs[:need].reshape(data_parallel, spatial_parallel)
-    return Mesh(grid, axis_names=("data", "spatial"))
+    grid = devs[:need].reshape(dcn_parallel, data_parallel, spatial_parallel)
+    return Mesh(grid, axis_names=("dcn", "data", "spatial"))
+
+
+def _mesh_dim(mesh: Mesh, name: str) -> int:
+    return int(mesh.shape.get(name, 1))
+
+
+def _is_trivial(mesh: Mesh) -> bool:
+    return all(_mesh_dim(mesh, a) == 1 for a in ("dcn", "data", "spatial"))
 
 
 def batch_spec(mesh: Mesh, spatial: bool = False, leading: int = 0) -> P:
-    """PartitionSpec for an NHWC (or N...) batch: N over 'data', optionally H
-    over 'spatial'. ``leading`` unsharded leading axes (e.g. a scan-window
-    axis of stacked batches)."""
-    dims = [None] * leading + ["data"]
-    if spatial and mesh.shape["spatial"] > 1:
+    """PartitionSpec for an NHWC (or N...) batch: N over ('dcn', 'data') —
+    cross-slice × in-slice data parallelism — optionally H over 'spatial'.
+    ``leading`` unsharded leading axes (e.g. a scan-window axis of stacked
+    batches)."""
+    batch_axes = ("dcn", "data") if _mesh_dim(mesh, "dcn") > 1 else "data"
+    dims = [None] * leading + [batch_axes]
+    if spatial and _mesh_dim(mesh, "spatial") > 1:
         dims.append("spatial")
     return P(*dims)
 
 
 def shard_batch(x: jax.Array, mesh: Mesh, spatial: bool = False, leading: int = 0) -> jax.Array:
-    """Place a batch array with its mesh sharding (no-op on a 1×1 mesh)."""
-    if mesh.shape["data"] == 1 and mesh.shape["spatial"] == 1:
+    """Place a batch array with its mesh sharding (no-op on a trivial mesh)."""
+    if _is_trivial(mesh):
         return x
     spec = batch_spec(mesh, spatial, leading)
     return jax.device_put(x, NamedSharding(mesh, spec))
@@ -58,7 +80,7 @@ def shard_batch(x: jax.Array, mesh: Mesh, spatial: bool = False, leading: int = 
 
 def replicate(tree, mesh: Mesh):
     """Fully replicate a pytree (e.g. params) across the mesh."""
-    if mesh.shape["data"] == 1 and mesh.shape["spatial"] == 1:
+    if _is_trivial(mesh):
         return tree
     sharding = NamedSharding(mesh, P())
     return jax.device_put(tree, sharding)

@@ -115,16 +115,32 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
     max_instances = cfg.model.fusion_detection.max_instances
 
     def train_step(state: TrainState, images_u8, masks, key):
+        # ``masks`` is either the semantic mask batch or a (masks, instances)
+        # tuple when the dataset carries COCO instance annotations — the
+        # instance path supplies real GT for the dense detection head and
+        # the shape loss (the reference's intended-but-sourceless path,
+        # shape_loss.py:150-180). Masks travel host→device as uint8 (4× less
+        # relay traffic than int32); all downstream math wants int32.
+        gt_instances = None
+        if isinstance(masks, (tuple, list)):
+            masks, gt_instances = masks
+        masks = masks.astype(jnp.int32)
         aug_key, drop_key = jax.random.split(jax.random.fold_in(key, state.step))
 
         def loss_fn(params):
-            imgs, aug_masks = device_preprocess_batch(
+            pre_out = device_preprocess_batch(
                 aug_key, images_u8, masks,
                 pre.normalization_mean, pre.normalization_std,
                 augment=augment, flip_prob=pre.horizontal_flip_prob,
                 rotation_degrees=pre.rotation_degrees,
                 crop_prob=pre.random_crop_prob,
+                instances=gt_instances,
             )
+            if gt_instances is not None:
+                imgs, aug_masks, aug_inst = pre_out
+            else:
+                imgs, aug_masks = pre_out
+                aug_inst = None
             out, new_model_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 imgs,
@@ -153,9 +169,14 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
             l_partition = out["l_partition"].mean()
 
             probs = jax.nn.softmax(logits, axis=-1)
-            # Soft-mask moments: ∂L_shape/∂probs exists, so λ1 actually
-            # trains (round-1 used the hard-argmax form, gradient-free).
-            l_shape = losses.elliptical_shape_loss_soft(probs)
+            if aug_inst is not None:
+                # Intended instance path: per-object Mahalanobis ellipse
+                # prior on real GT instance masks (shape_loss.py:150-180).
+                l_shape = losses.elliptical_shape_loss(aug_inst.astype(jnp.float32))
+            else:
+                # Soft-mask moments: ∂L_shape/∂probs exists, so λ1 actually
+                # trains (round-1 used the hard-argmax form, gradient-free).
+                l_shape = losses.elliptical_shape_loss_soft(probs)
             l_smooth = losses.total_variation_loss(probs[..., 1:2])
 
             total = (
@@ -182,17 +203,22 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
                 aux["l_bbox"] = l_bbox
                 aux["l_conf"] = l_conf
             if "dense_objectness_logits" in out:
-                # GT instances from connected components of the mask; static
-                # max_instances slots.
                 from mingraph_unet_tpu.models.detection import dense_detection_loss
-                from mingraph_unet_tpu.ops import cc
 
-                def gt_instances(m):
-                    labels = cc.label_components((m == 1).astype(jnp.int32))
-                    masks_i, _ = cc.top_instances(labels, max_instances, min_area=10)
-                    return masks_i
+                if aug_inst is not None:
+                    # Real annotated GT instances.
+                    inst = aug_inst
+                else:
+                    # Fallback: GT instances from connected components of the
+                    # semantic mask; static max_instances slots.
+                    from mingraph_unet_tpu.ops import cc
 
-                inst = jax.vmap(gt_instances)(aug_masks)  # (B, O, H, W)
+                    def gt_instances_cc(m):
+                        labels = cc.label_components((m == 1).astype(jnp.int32))
+                        masks_i, _ = cc.top_instances(labels, max_instances, min_area=10)
+                        return masks_i
+
+                    inst = jax.vmap(gt_instances_cc)(aug_masks)  # (B, O, H, W)
                 l_dense_obj, l_dense_box = dense_detection_loss(
                     {"objectness_logits": out["dense_objectness_logits"],
                      "boxes": out["dense_boxes"]},
@@ -226,11 +252,16 @@ def train_end_to_end(
     ds_cfg = cfg.dataset
     data_root = data_root_override or ds_cfg.data_root
 
+    ann_file = ds_cfg.annotations_file
+    if ann_file and not os.path.isabs(ann_file) and not os.path.exists(ann_file):
+        ann_file = os.path.join(data_root, ds_cfg.train_dir, ann_file)
     dataset = MangoDataset(
         image_dir=os.path.join(data_root, ds_cfg.train_dir, ds_cfg.image_folder),
         mask_dir=os.path.join(data_root, ds_cfg.train_dir, ds_cfg.mask_folder),
         image_size=cfg.preprocessing.resize_dim,
         num_classes=cfg.model.unet.out_channels,
+        annotations_file=ann_file,
+        max_instances=cfg.model.fusion_detection.max_instances,
     )
     loader = BatchLoader(dataset, train_cfg.batch_size, shuffle=True, drop_last=True, seed=train_cfg.seed)
     steps_per_epoch = max(1, len(loader))
@@ -290,11 +321,29 @@ def train_end_to_end(
                 if train_cfg.num_workers > 0
                 else loader.epoch(epoch)
             )
+            pending: list = []  # (aux device tree, steps it covers)
+
+            def drain_pending(keep: int = 0):
+                """Fetch queued metrics (one device→host transfer per entry;
+                per-scalar float() costs a relay round trip each), leaving
+                the newest ``keep`` entries in flight."""
+                while len(pending) > keep:
+                    aux, done, gstep = pending.pop(0)
+                    aux_np = jax.device_get(aux)
+                    for k, v in aux_np.items():
+                        running[k] = running.get(k, 0.0) + float(v) * done
+                    logger.log(
+                        gstep,
+                        {**{k: float(v) for k, v in aux_np.items()},
+                         "lr": epoch_lr, "epoch": epoch},
+                    )
+
             def run_batches(batches):
                 """Consume buffered host batches: full windows through the
-                scanned multi-step (ONE dispatch + ONE metrics fetch per
-                window — the host round trip costs ~0.3 s over the relay),
-                remainder singly."""
+                scanned multi-step (ONE dispatch + ONE deferred metrics fetch
+                per window — the host round trip costs ~0.3 s over the
+                relay), remainder singly. Metrics fetch lags one dispatch so
+                the next window's host→device transfer overlaps compute."""
                 nonlocal state, n_steps, global_step, loop_key
                 i = 0
                 while i < len(batches):
@@ -305,42 +354,47 @@ def train_end_to_end(
                             jnp.asarray(np.stack([b[0] for b in chunk])), mesh, leading=1
                         )
                         masks = shard_batch(
-                            jnp.asarray(np.stack([b[1] for b in chunk])), mesh, leading=1
+                            jnp.asarray(
+                                np.stack([b[1] for b in chunk]).astype(np.uint8)
+                            ),
+                            mesh,
+                            leading=1,
                         )
+                        if len(chunk[0]) == 3:  # instance-annotated batches
+                            inst = shard_batch(
+                                jnp.asarray(np.stack([b[2] for b in chunk])),
+                                mesh,
+                                leading=1,
+                            )
+                            masks = (masks, inst)
                         state, aux = jit_window(state, imgs, masks, step_key)
                         done = window
                     else:
-                        imgs_np, masks_np = batches[i]
-                        imgs = shard_batch(jnp.asarray(imgs_np), mesh)
-                        masks = shard_batch(jnp.asarray(masks_np), mesh)
+                        item = batches[i]
+                        imgs = shard_batch(jnp.asarray(item[0]), mesh)
+                        masks = shard_batch(jnp.asarray(item[1].astype(np.uint8)), mesh)
+                        if len(item) == 3:
+                            masks = (masks, shard_batch(jnp.asarray(item[2]), mesh))
                         state, aux = jit_step(state, imgs, masks, step_key)
                         done = 1
                     i += done
                     n_steps += done
                     global_step += done
-                    # One device→host transfer for all metrics (per-scalar
-                    # float() costs a relay round trip each; windows average
-                    # their K steps on device).
-                    aux_np = jax.device_get(aux)
-                    for k, v in aux_np.items():
-                        running[k] = running.get(k, 0.0) + float(v) * done
-                    logger.log(
-                        global_step,
-                        {**{k: float(v) for k, v in aux_np.items()},
-                         "lr": epoch_lr, "epoch": epoch},
-                    )
+                    pending.append((aux, done, global_step))
+                    drain_pending(keep=1)  # fetch all but the in-flight one
 
             buf: list = []
-            for imgs_np, masks_np in epoch_iter:
+            for batch in epoch_iter:  # (imgs, masks[, instances])
                 if n_steps + len(buf) >= steps_per_epoch:
                     break
-                buf.append((imgs_np, masks_np))
+                buf.append(batch)
                 if len(buf) == window:
                     run_batches(buf)
                     buf = []
             if buf:
                 run_batches(buf)
                 buf = []
+            drain_pending()
             epoch_loss = running.get("total", 0.0) / max(1, n_steps)
             history["epoch_loss"].append(epoch_loss)
             avg = {k: v / max(1, n_steps) for k, v in running.items()}

@@ -54,6 +54,9 @@ def make_train_step(model: UNet, tx, cfg: PipelineConfig, augment: bool = True):
     dice_w = cfg.model.losses.dice_weight
 
     def train_step(state: TrainState, images_u8, masks, key):
+        # Masks travel host→device as uint8 (4× less relay traffic).
+        masks = masks.astype(jnp.int32)
+
         def loss_fn(params):
             imgs, aug_masks = device_preprocess_batch(
                 key,
@@ -172,9 +175,24 @@ def train_unet_segmentation(
                 if train_cfg.num_workers > 0
                 else loader.epoch(epoch)
             )
+            pending = []  # (metrics device tree, steps covered, global_step)
+
+            def drain_pending(keep: int = 0):
+                """Fetch queued metrics (one device→host transfer per entry),
+                leaving the newest ``keep`` entries in flight so the next
+                window's host→device transfer overlaps compute."""
+                while len(pending) > keep:
+                    metrics, done, gstep = pending.pop(0)
+                    metrics_np = jax.device_get(metrics)
+                    for k in running:
+                        running[k] += float(metrics_np[k]) * done
+                    logger.log(gstep, {**{k: float(v) for k, v in metrics_np.items()},
+                                       "lr": epoch_lr,
+                                       "epoch": epoch})
+
             def run_batches(batches):
                 """Full windows through the scanned multi-step (one dispatch
-                + one metrics fetch per window), remainder singly."""
+                + one deferred metrics fetch per window), remainder singly."""
                 nonlocal state, n_steps, global_step, loop_key
                 i = 0
                 while i < len(batches):
@@ -185,26 +203,24 @@ def train_unet_segmentation(
                             jnp.asarray(np.stack([b[0] for b in chunk])), mesh, leading=1
                         )
                         masks = shard_batch(
-                            jnp.asarray(np.stack([b[1] for b in chunk])), mesh, leading=1
+                            jnp.asarray(np.stack([b[1] for b in chunk]).astype(np.uint8)),
+                            mesh,
+                            leading=1,
                         )
                         state, metrics = jit_window(state, imgs, masks, step_key)
                         done = window
                     else:
                         imgs = shard_batch(jnp.asarray(batches[i][0]), mesh)
-                        masks = shard_batch(jnp.asarray(batches[i][1]), mesh)
+                        masks = shard_batch(
+                            jnp.asarray(batches[i][1].astype(np.uint8)), mesh
+                        )
                         state, metrics = jit_step(state, imgs, masks, step_key)
                         done = 1
                     i += done
                     n_steps += done
                     global_step += done
-                    # One device→host transfer for all metrics (per-scalar
-                    # float() costs a relay round trip each).
-                    metrics_np = jax.device_get(metrics)
-                    for k in running:
-                        running[k] += float(metrics_np[k]) * done
-                    logger.log(global_step, {**{k: float(v) for k, v in metrics_np.items()},
-                                             "lr": epoch_lr,
-                                             "epoch": epoch})
+                    pending.append((metrics, done, global_step))
+                    drain_pending(keep=1)
 
             buf = []
             for imgs_np, masks_np in epoch_iter:
@@ -217,6 +233,7 @@ def train_unet_segmentation(
             if buf:
                 run_batches(buf)
                 buf = []
+            drain_pending()
             epoch_loss = running["loss"] / max(1, n_steps)
             history["epoch_loss"].append(epoch_loss)
             print(f"[train] epoch {epoch + 1}/{num_epochs} avg_loss={epoch_loss:.4f}")

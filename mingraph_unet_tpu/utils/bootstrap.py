@@ -29,11 +29,15 @@ def make_dummy_run(
     init_features: int = 8,
     depth: int = 2,
     seed: int = 0,
+    with_annotations: bool = False,
 ) -> str:
     """Create configs + a tiny synthetic mango dataset under ``base_dir``.
 
-    Returns the config directory path. Images are green backgrounds with an
-    orange ellipse; masks mark the ellipse as class 1.
+    Returns the config directory path. Images are green backgrounds with
+    orange ellipses; masks mark the ellipses as class 1.
+    ``with_annotations`` additionally writes a COCO-style JSON
+    (polygon segmentations + boxes, one annotation per ellipse) and points
+    ``dataset.annotations_file`` at it — the instance-GT training path.
     """
     import cv2
 
@@ -46,6 +50,8 @@ def make_dummy_run(
 
     h, w = image_size
     rng = np.random.default_rng(seed)
+    coco_images, coco_anns = [], []
+    ann_id = 1
     for i in range(num_images):
         img = np.full((h, w, 3), (35, 110, 40), np.uint8)  # BGR green-ish
         mask = np.zeros((h, w), np.uint8)
@@ -55,12 +61,40 @@ def make_dummy_run(
             ang = float(rng.uniform(0, 180))
             cv2.ellipse(img, c, ax, ang, 0, 360, (30, 140, 230), -1)
             cv2.ellipse(mask, c, ax, ang, 0, 360, 1, -1)
+            if with_annotations:
+                poly = cv2.ellipse2Poly(c, ax, int(ang), 0, 360, 10)
+                poly = np.clip(poly, [0, 0], [w - 1, h - 1])
+                x0, y0 = poly.min(axis=0)
+                x1, y1 = poly.max(axis=0)
+                coco_anns.append(
+                    {
+                        "id": ann_id,
+                        "image_id": i,
+                        "category_id": 0,
+                        "bbox": [float(x0), float(y0), float(x1 - x0 + 1), float(y1 - y0 + 1)],
+                        "segmentation": [poly.astype(float).reshape(-1).tolist()],
+                        "iscrowd": 0,
+                    }
+                )
+                ann_id += 1
         cv2.imwrite(os.path.join(img_dir, f"img_{i:03d}.png"), img)
         cv2.imwrite(os.path.join(mask_dir, f"img_{i:03d}.png"), mask)
+        coco_images.append(
+            {"id": i, "file_name": f"img_{i:03d}.png", "height": h, "width": w}
+        )
+
+    ann_file = None
+    if with_annotations:
+        from mingraph_unet_tpu.data.annotations import write_coco_json
+
+        ann_file = write_coco_json(
+            os.path.join(data_root, "train", "annotations.json"), coco_images, coco_anns
+        )
 
     cfg = PipelineConfig()
     cfg.dataset = replace(
-        cfg.dataset, data_root=data_root, image_height=h, image_width=w
+        cfg.dataset, data_root=data_root, image_height=h, image_width=w,
+        annotations_file=ann_file,
     )
     cfg.preprocessing = replace(cfg.preprocessing, resize_dim=(h, w))
     cfg.model.unet = replace(cfg.model.unet, init_features=init_features, depth=depth)

@@ -233,7 +233,7 @@ def exp_train():
     tx, _ = make_optimizer(cfg.training, 1)
     rng = np.random.default_rng(0)
     imgs_np = rng.integers(0, 255, (16, 128, 128, 3), np.uint8)
-    masks_np = rng.integers(0, 2, (16, 128, 128), np.int32)
+    masks_np = rng.integers(0, 2, (16, 128, 128), np.uint8)
 
     variables = jax.jit(model.init)(jax.random.key(0), jnp.zeros((16, 128, 128, 3), jnp.float32))
     state0 = TrainState.create(variables, tx)
@@ -251,11 +251,16 @@ def exp_train():
         return state
 
     def run_window(state, n):
+        # Deferred fetch: metrics lag one window so transfer overlaps compute.
+        prev = None
         for i in range(n // W):
             imgs = jnp.asarray(np.stack([imgs_np] * W))
             masks = jnp.asarray(np.stack([masks_np] * W))
             state, aux = jit_window(state, imgs, masks, jax.random.key(i))
-            jax.device_get(aux)
+            if prev is not None:
+                jax.device_get(prev)
+            prev = aux
+        jax.device_get(prev)
         return state
 
     state = run_single(state0, 2)  # compile
@@ -270,6 +275,36 @@ def exp_train():
     t_window = (time.perf_counter() - t0) / 16
     print(f"[lab] e2e train 128² b16 scan_window={W}            {t_window * 1e3:8.1f} ms/step")
     print(f"      -> {t_single / t_window:.1f}x wall-clock")
+
+    # Compute floor: device-resident window, no per-step host transfer.
+    imgs_dev = jnp.asarray(np.stack([imgs_np] * W))
+    masks_dev = jnp.asarray(np.stack([masks_np] * W))
+    jit_window_nodonate = jax.jit(make_multistep(step, W))
+
+    def run_resident(state, n):
+        prev = None
+        for i in range(n // W):
+            state, aux = jit_window_nodonate(state, imgs_dev, masks_dev, jax.random.key(i))
+            if prev is not None:
+                jax.device_get(prev)
+            prev = aux
+        jax.device_get(prev)
+        return state
+
+    state = run_resident(state, W)
+    t0 = time.perf_counter()
+    state = run_resident(state, 32)
+    t_res = (time.perf_counter() - t0) / 32
+    print(f"[lab] e2e train 128² b16 device-resident window     {t_res * 1e3:8.1f} ms/step")
+
+    # Host→device transfer rate over the relay.
+    blob = np.zeros((32 << 20,), np.uint8)
+    jnp.asarray(blob[: 1 << 20]).block_until_ready()
+    t0 = time.perf_counter()
+    x = jnp.asarray(blob)
+    x.block_until_ready()
+    dt = time.perf_counter() - t0
+    print(f"[lab] host->device 32MB: {dt * 1e3:.0f} ms ({32 / dt:.0f} MB/s)")
 
 
 def exp_convs():
