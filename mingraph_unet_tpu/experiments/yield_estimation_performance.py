@@ -25,6 +25,7 @@ __all__ = [
     "DummyYieldDataset",
     "MockDetector",
     "SegmentationCountDetector",
+    "DenseHeadDetector",
     "evaluate_yield_model",
 ]
 
@@ -174,6 +175,75 @@ class SegmentationCountDetector:
         return dets
 
 
+class DenseHeadDetector:
+    """Detector backed by the multi-instance dense head: per-cell objectness
+    + box regression over the fused map, decoded with top-k + NMS
+    (``models/detection.py::DenseDetectionHead``). The learned-detection
+    counterpart to :class:`SegmentationCountDetector`'s CC instancing."""
+
+    def __init__(self, config_dir: str, weights_path: str,
+                 score_threshold: float = 0.5, iou_threshold: float = 0.5,
+                 top_k: int = 32, ablation: Optional[Dict[str, bool]] = None):
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.data.dataset import device_preprocess_batch
+        from mingraph_unet_tpu.models.detection import decode_dense_detections
+        from mingraph_unet_tpu.train.infer import load_variables
+        from mingraph_unet_tpu.train.end_to_end import build_mingraph_unet
+
+        cfg = PipelineConfig.from_config_dir(config_dir)
+        cfg.model.fusion_detection = dataclasses.replace(
+            cfg.model.fusion_detection, use_dense_detection=True
+        )
+        if ablation:
+            cfg.model = dataclasses.replace(
+                cfg.model, ablation=dataclasses.replace(cfg.model.ablation, **ablation)
+            )
+        model = build_mingraph_unet(cfg)
+        variables = load_variables(weights_path)
+        pre = cfg.preprocessing
+        patch = cfg.model.graph_construction.patch_size
+
+        @jax.jit
+        def detect(images_u8):
+            imgs, _ = device_preprocess_batch(
+                jax.random.key(0), images_u8, jnp.zeros(images_u8.shape[:3], jnp.int32),
+                pre.normalization_mean, pre.normalization_std, augment=False,
+            )
+            out = model.apply(variables, imgs, train=False)
+            return decode_dense_detections(
+                out["dense_objectness_logits"], out["dense_boxes"],
+                image_hw=pre.resize_dim, cell_size=patch, top_k=top_k,
+                score_threshold=score_threshold, iou_threshold=iou_threshold,
+            )
+
+        self._detect = detect
+        self._resize = pre.resize_dim
+
+    def __call__(self, image: np.ndarray) -> List[dict]:
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.data.dataset import _resize_image
+
+        h0, w0 = image.shape[:2]
+        resized = _resize_image(image, self._resize)
+        boxes, scores, valid = self._detect(jnp.asarray(resized)[None])
+        boxes, scores, valid = map(np.asarray, (boxes[0], scores[0], valid[0]))
+        sy, sx = h0 / self._resize[0], w0 / self._resize[1]
+        return [
+            {
+                "bbox": [b[0] * sx, b[1] * sy, b[2] * sx, b[3] * sy],
+                "class_id": 0,
+                "confidence": float(s),
+            }
+            for b, s, v in zip(boxes, scores, valid)
+            if v
+        ]
+
+
 def evaluate_yield_model(
     config_dir: Optional[str] = None,
     weights_path: Optional[str] = None,
@@ -201,6 +271,10 @@ def evaluate_yield_model(
         dataset = DummyYieldDataset(num_images=num_images, seed=seed)
     if model_type == "mock":
         detector = MockDetector(seed=seed)
+    elif model_type == "mingraph-unet-dense":
+        if not (config_dir and weights_path):
+            raise ValueError("config_dir and weights_path required for a real detector")
+        detector = DenseHeadDetector(config_dir, weights_path, ablation=ablation)
     else:
         if not (config_dir and weights_path):
             raise ValueError("config_dir and weights_path required for a real detector")

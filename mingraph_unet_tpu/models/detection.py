@@ -137,6 +137,7 @@ def decode_dense_detections(
     """
     b, gh, gw = objectness_logits.shape
     h, w = image_hw
+    top_k = min(top_k, gh * gw)
     scores_all = jax.nn.sigmoid(objectness_logits).reshape(b, gh * gw)
     # Build per-cell centers.
     yy = jnp.repeat(jnp.arange(gh, dtype=jnp.float32), gw)

@@ -114,7 +114,21 @@ class MinGraphUNet(nn.Module):
     dtype: Any = jnp.float32
 
     @nn.compact
-    def __call__(self, images: jnp.ndarray, train: bool = False) -> Dict[str, jnp.ndarray]:
+    def __call__(
+        self,
+        images: jnp.ndarray,
+        train: bool = False,
+        unet_outputs: Optional[Tuple] = None,
+    ) -> Dict[str, jnp.ndarray]:
+        """Full pipeline forward.
+
+        ``unet_outputs``: optional precomputed ``(logits, skips, f_u)`` —
+        large-scene mode runs the U-Net tile-by-tile with halos
+        (``parallel/spatial.py``), stitches, and then runs the graph branch
+        ONCE over the whole scene's patch lattice here (global refinement,
+        not per-tile; SURVEY §5 long-context row). Parameter tree is
+        unchanged (the unet params are simply unused in that call).
+        """
         deterministic = not train
         b, h, w, _ = images.shape
         if h % self.patch_size or w % self.patch_size:
@@ -124,16 +138,19 @@ class MinGraphUNet(nn.Module):
             )
 
         # === Stage 1: U-Net ===
-        logits, skips, f_u = UNet(
-            num_classes=self.num_classes,
-            init_features=self.init_features,
-            depth=self.depth,
-            use_batchnorm=self.use_batchnorm,
-            dtype=self.dtype,
-            remat=self.remat,
-            s2d_level0=self.unet_s2d_level0,
-            name="unet",
-        )(images, train=train)
+        if unet_outputs is not None:
+            logits, skips, f_u = unet_outputs
+        else:
+            logits, skips, f_u = UNet(
+                num_classes=self.num_classes,
+                init_features=self.init_features,
+                depth=self.depth,
+                use_batchnorm=self.use_batchnorm,
+                dtype=self.dtype,
+                remat=self.remat,
+                s2d_level0=self.unet_s2d_level0,
+                name="unet",
+            )(images, train=train)
 
         # === Stage 2: initial patch-node features (real, not stubbed) ===
         unet_patch = patch_reduce_mean(skips[0], self.patch_size)  # (B, nph, npw, F0)

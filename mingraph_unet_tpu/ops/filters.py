@@ -250,14 +250,20 @@ def equalize_histogram_rgb_batched(
 ) -> jnp.ndarray:
     """Batched :func:`equalize_histogram_rgb` on (B, H, W, 3) uint8 images.
 
-    Dispatches the per-image luma equalization to the fused Pallas kernel on
-    TPU (XLA one-hot fallback elsewhere / for kernel-incompatible shapes).
-    Bit-exact with ``jax.vmap(equalize_histogram_rgb)`` on both paths.
+    ``use_pallas=True`` routes the per-image luma equalization through the
+    fused Pallas kernel (:mod:`ops.pallas.histeq`); the default is the XLA
+    one-hot form, which *wins* on v5e at production shapes (512² b8:
+    2.24 ms vs the kernel's 2.87 ms — the kernel is VMEM-resident but its
+    batch grid serializes, while the one-hot matmuls ride the MXU across the
+    whole batch; measured with loop-variant inputs, scripts/perf_lab.py
+    ``histeq``). Bit-exact either way.
     """
     rgb = jnp.asarray(rgb_u8).astype(jnp.float32)
     b_, h, w, _ = rgb.shape
     if use_pallas is None:
-        use_pallas = _histeq_pallas_ok(h, w)
+        use_pallas = False
+    elif use_pallas and not _histeq_pallas_ok(h, w):
+        use_pallas = False
     r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
     m = _RGB2YUV
     y = m[0, 0] * r + m[0, 1] * g + m[0, 2] * b

@@ -5,8 +5,16 @@ The XLA formulation of cv2-style ``equalizeHist``
 (N, 256) one-hot twice (histogram + LUT application): ~67 MB of HBM traffic
 per 512² image each way. This kernel keeps the whole image, the histogram,
 the CDF and the LUT resident in VMEM and streams pixel chunks through the
-VPU/MXU — one HBM read of the image and one write of the result
-(~2 MB total), measured ~7× faster for the aux-feature stage on v5e.
+VPU/MXU — one HBM read of the image and one write of the result (~2 MB).
+
+Honest benchmark note (v5e, loop-variant inputs, perf_lab ``histeq``):
+despite the ~60× HBM-traffic reduction the kernel loses at production batch
+(512² b8: 2.87 ms vs 2.24 ms for the XLA one-hot form) because the batch
+grid serializes per image while the one-hot matmuls saturate the MXU across
+the whole batch. The production dispatch therefore defaults to the XLA form
+(``filters.equalize_histogram_rgb_batched``); the kernel stays as the
+single-image / VMEM-constrained option and as working evidence for the
+Pallas tier.
 
 Per-image program (grid over batch):
 1. Chunked one-hot compare + reduce → 256-bin histogram (VPU).

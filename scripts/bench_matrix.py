@@ -56,14 +56,15 @@ def main():
         return min(ts) / iters
 
     # --- config 1: 256² U-Net-only fp32 batch 1 ---
-    unet32 = UNet(dtype=jnp.float32)
+    unet32 = UNet(dtype=jnp.float32, s2d_level0=True)
     x1 = jnp.asarray(rng.random((1, 256, 256, 3)), jnp.float32)
     v1 = jax.jit(unet32.init)(jax.random.key(0), x1)
     dt = scan_time(lambda x: unet32.apply(v1, x, train=False)[0].sum(), x1)
     results["config1_256_unet_fp32_b1"] = {"ms_per_batch": dt * 1e3, "images_per_s": 1 / dt}
 
     # --- config 2: 256² full graph pipeline batch 1 ---
-    pipe = MinGraphUNet(dtype=jnp.bfloat16)
+    # Production lowering: s2d level-0 (model default) + pre-pooled detection.
+    pipe = MinGraphUNet(dtype=jnp.bfloat16, detection_pre_pool=32)
     x2 = jnp.asarray(rng.random((1, 256, 256, 3)), jnp.float32)
     v2 = jax.jit(pipe.init)(jax.random.key(0), x2)
 
@@ -86,7 +87,7 @@ def main():
     results["config3_512_full_b8_bf16"] = {"ms_per_batch": dt * 1e3, "images_per_s": 8 / dt}
 
     # --- config 4: 1024² scene, tiled + stitched U-Net inference ---
-    unet_bf16 = UNet(dtype=jnp.bfloat16)
+    unet_bf16 = UNet(dtype=jnp.bfloat16, s2d_level0=True)
     xt = jnp.zeros((1, 512 + 128, 512 + 128, 3))
     v4 = jax.jit(unet_bf16.init)(jax.random.key(0), jnp.zeros((1, 128, 128, 3)))
     x4 = jnp.asarray(rng.random((1, 1024, 1024, 3)), jnp.float32)
@@ -106,6 +107,7 @@ def main():
     # --- config 5: multi-spectral (6-band) 1024² scene batch bf16 ---
     ms_pipe = MinGraphUNet(
         dtype=jnp.bfloat16,
+        detection_pre_pool=32,
         normalization_mean=(0.45,) * 6,
         normalization_std=(0.22,) * 6,
     )

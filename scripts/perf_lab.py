@@ -143,7 +143,7 @@ def exp_detpool():
 
 
 def exp_histeq():
-    """Hist-eq: XLA one-hot vs Pallas kernel, full RGB stage."""
+    """Aux features: XLA vs Pallas hist-eq, sobel, denormalize chain."""
     setup()
     import jax
     import jax.numpy as jnp
@@ -152,17 +152,60 @@ def exp_histeq():
 
     rgb = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.uint8)
 
+    def vary_u8(x, c):
+        # (c·1e-12)→int is 0 at runtime but NOT foldable at compile time, so
+        # the body stays loop-variant (c*0 folds and XLA hoists everything).
+        return x + (c * 1e-12).astype(jnp.uint8)
+
     def xla_path(rgb, c):
-        out = jax.vmap(filters.equalize_histogram_rgb)(rgb).astype(jnp.float32)
-        return out.sum() + c * 0
+        out = jax.vmap(filters.equalize_histogram_rgb)(vary_u8(rgb, c)).astype(jnp.float32)
+        return out.sum()
 
     timed_loop(xla_path, (rgb,), label="hist-eq RGB (XLA vmap)")
 
-    def fast_path(rgb, c):
-        out = filters.equalize_histogram_rgb_batched(rgb).astype(jnp.float32)
-        return out.sum() + c * 0
+    def batched_xla(rgb, c):
+        out = filters.equalize_histogram_rgb_batched(
+            vary_u8(rgb, c), use_pallas=False
+        ).astype(jnp.float32)
+        return out.sum()
 
-    timed_loop(fast_path, (rgb,), label="hist-eq RGB (batched/pallas dispatch)")
+    timed_loop(batched_xla, (rgb,), label="hist-eq RGB (batched XLA)")
+
+    def batched_pallas(rgb, c):
+        out = filters.equalize_histogram_rgb_batched(
+            vary_u8(rgb, c), use_pallas=True
+        ).astype(jnp.float32)
+        return out.sum()
+
+    timed_loop(batched_pallas, (rgb,), label="hist-eq RGB (batched pallas)")
+
+    from mingraph_unet_tpu.ops.pallas.histeq import equalize_channel_pallas
+
+    y = jnp.zeros((BATCH, SIZE, SIZE), jnp.int32)
+
+    def kernel_only(y, c):
+        return equalize_channel_pallas(y + (c * 1e-12).astype(jnp.int32)).astype(jnp.float32).sum()
+
+    timed_loop(kernel_only, (y,), label="hist-eq luma kernel only (pallas)")
+
+    def luma_xla(y, c):
+        from mingraph_unet_tpu.ops.filters import _equalize_channel_u8
+
+        out = jax.vmap(_equalize_channel_u8)(y + (c * 1e-12).astype(jnp.int32))
+        return out.astype(jnp.float32).sum()
+
+    timed_loop(luma_xla, (y,), label="hist-eq luma only (XLA one-hot)")
+
+    def sobel(rgb, c):
+        return filters.sobel_magnitude(rgb.astype(jnp.float32) + c * 1e-12).sum()
+
+    timed_loop(sobel, (rgb,), label="sobel f32")
+
+    def sobel_bf16(rgb, c):
+        g = filters.sobel_magnitude(rgb.astype(jnp.bfloat16) + c.astype(jnp.bfloat16) * 1e-8)
+        return g.astype(jnp.float32).sum()
+
+    timed_loop(sobel_bf16, (rgb,), label="sobel bf16")
 
 
 def exp_unet():
@@ -183,6 +226,44 @@ def exp_unet():
             return logits.sum()
 
         timed_loop(unet_fwd, (uv, x), label=f"U-Net bf16 s2d_level0={s2d}")
+
+
+def exp_unetparts():
+    """Locate the U-Net's remaining cost: encoder vs decoder, BN on/off."""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.models.unet import UNet, UNetEncoder
+
+    x = jnp.zeros((BATCH, SIZE, SIZE, 3), jnp.float32)
+
+    for bn in (True, False):
+        unet = UNet(dtype=jnp.bfloat16, s2d_level0=True, use_batchnorm=bn)
+        uv = jax.jit(unet.init)(jax.random.key(0), x)
+
+        def unet_fwd(uv, x, c, unet=unet):
+            return unet.apply(uv, x + c * 1e-12, train=False)[0].sum()
+
+        timed_loop(unet_fwd, (uv, x), label=f"U-Net s2d bn={bn}")
+
+    enc = UNetEncoder(dtype=jnp.bfloat16, s2d_level0=True)
+    ev = jax.jit(enc.init)(jax.random.key(0), x)
+
+    def enc_fwd(ev, x, c):
+        skips, bott, _ = enc.apply(ev, x + c * 1e-12, train=False)
+        return (bott.sum() + skips[0].sum()).astype(jnp.float32)
+
+    timed_loop(enc_fwd, (ev, x), label="encoder only (s2d)")
+
+    # Encoder without materializing the full-res skip (is depth_to_space
+    # + the skip output costing bandwidth?)
+    def enc_fwd_nod2s(ev, x, c):
+        skips, bott, s2d0 = enc.apply(ev, x + c * 1e-12, train=False)
+        extra = s2d0.sum() if s2d0 is not None else 0.0
+        return (bott.sum() + extra).astype(jnp.float32)
+
+    timed_loop(enc_fwd_nod2s, (ev, x), label="encoder only (skip0 via s2d, no d2s)")
 
 
 def exp_full():
@@ -416,6 +497,7 @@ if __name__ == "__main__":
         "detpool": exp_detpool,
         "histeq": exp_histeq,
         "unet": exp_unet,
+        "unetparts": exp_unetparts,
         "full": exp_full,
         "train": exp_train,
         "convs": exp_convs,

@@ -144,3 +144,20 @@ class TestInstanceTraining:
         state, history = train_end_to_end(cfg_dir, max_epochs=1)
         assert np.isfinite(history["epoch_loss"][0])
         assert int(state.step) == 2
+
+        # Both detectors evaluate on the real annotated files end-to-end:
+        # CC instancing vs the learned dense head (VERDICT round-1 item 8).
+        from mingraph_unet_tpu.experiments.yield_estimation_performance import (
+            evaluate_yield_model,
+        )
+
+        data_root = os.path.join(str(tmp_path), "data")
+        img_dir = os.path.join(data_root, "train", "images")
+        ann_file = os.path.join(data_root, "train", "annotations.json")
+        weights = os.path.join(str(tmp_path), "checkpoints")
+        for model_type in ("mingraph-unet", "mingraph-unet-dense"):
+            res = evaluate_yield_model(
+                cfg_dir, weights, model_type=model_type,
+                image_dir=img_dir, ann_file=ann_file,
+            )
+            assert np.isfinite(res["count_accuracy_perc"]), model_type
