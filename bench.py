@@ -141,8 +141,11 @@ def measure_tpu(batch=BATCH, size=SIZE):
         rgb = jnp.zeros((batch, size, size, 3), jnp.uint8)
 
         def aux_fwd(rgb, c):
-            he = filters.equalize_histogram_rgb_batched(rgb).astype(jnp.float32)
-            so = filters.sobel_magnitude(rgb.astype(jnp.float32) + c * 1e-12)
+            # (c·1e-12)→uint8 is 0 at runtime but not at compile time: keeps
+            # the body loop-variant so XLA cannot hoist it out of the scan.
+            rgb_v = rgb + (c * 1e-12).astype(jnp.uint8)
+            he = filters.equalize_histogram_rgb_batched(rgb_v).astype(jnp.float32)
+            so = filters.sobel_magnitude(rgb_v.astype(jnp.float32))
             return he.sum() + so.sum()
 
         stage_ms["aux_filters"], _ = _timed_loop(aux_fwd, (rgb,))

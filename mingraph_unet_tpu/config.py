@@ -416,6 +416,10 @@ class TrainingConfig:
     # Device-resident multi-step window: lax.scan over K pre-staged batches
     # per host dispatch (one metrics fetch per window). 1 = step-per-dispatch.
     scan_window: int = 1
+    # Keep the max_to_keep BEST checkpoints by this epoch metric (e.g.
+    # "loss", best_mode below) instead of the newest. None = newest.
+    checkpoint_best_metric: Optional[str] = None
+    checkpoint_best_mode: str = "min"
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":

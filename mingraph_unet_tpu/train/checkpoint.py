@@ -20,12 +20,33 @@ __all__ = ["CheckpointManager"]
 
 
 class CheckpointManager:
-    def __init__(self, directory: str, max_to_keep: int = 3, save_interval_steps: int = 1):
+    """Orbax-backed manager with async saves and optional best-metric
+    retention.
+
+    ``best_metric``: when set, retention keeps the ``max_to_keep`` *best*
+    checkpoints by that key of the ``metrics`` dict passed to :meth:`save`
+    (``best_mode`` 'min' for losses, 'max' for accuracies) instead of the
+    newest. Saves are asynchronous (Orbax default) — the train loop keeps
+    running while the checkpoint writes; :meth:`wait` joins.
+    """
+
+    def __init__(
+        self,
+        directory: str,
+        max_to_keep: int = 3,
+        save_interval_steps: int = 1,
+        best_metric: Optional[str] = None,
+        best_mode: str = "min",
+    ):
         directory = os.path.abspath(directory)
         os.makedirs(directory, exist_ok=True)
         self.directory = directory
+        self.best_metric = best_metric
         options = ocp.CheckpointManagerOptions(
-            max_to_keep=max_to_keep, save_interval_steps=save_interval_steps
+            max_to_keep=max_to_keep,
+            save_interval_steps=save_interval_steps,
+            best_fn=(lambda m: float(m[best_metric])) if best_metric else None,
+            best_mode=best_mode,
         )
         self._mngr = ocp.CheckpointManager(directory, options=options)
 
@@ -33,8 +54,20 @@ class CheckpointManager:
     def latest_step(self) -> Optional[int]:
         return self._mngr.latest_step()
 
-    def save(self, step: int, state: Dict[str, Any], force: bool = False) -> bool:
-        saved = self._mngr.save(step, args=ocp.args.StandardSave(state), force=force)
+    @property
+    def best_step(self) -> Optional[int]:
+        return self._mngr.best_step()
+
+    def save(
+        self,
+        step: int,
+        state: Dict[str, Any],
+        force: bool = False,
+        metrics: Optional[Dict[str, float]] = None,
+    ) -> bool:
+        saved = self._mngr.save(
+            step, args=ocp.args.StandardSave(state), force=force, metrics=metrics
+        )
         return bool(saved)
 
     def restore_latest(self, abstract_state: Optional[Dict[str, Any]] = None) -> Optional[Dict[str, Any]]:

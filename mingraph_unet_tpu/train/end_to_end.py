@@ -11,12 +11,11 @@ reference's stubbed seams implemented for real:
   GAT patch features, with patch labels ``y_p`` pooled from the *ground-truth*
   mask (fraction of foreground pixels > 0.5) — the reference uses
   ``torch.randn`` features and random labels (lines 338-345).
-- **L_shape** is evaluated on the predicted foreground (semantic single-blob
-  path of ``shape_loss.py:59-148``). Note: as in the reference, the
-  Mahalanobis term depends only on the *coordinates* of hard-mask pixels, so
-  it carries no gradient — it acts as a monitored regularizer value exactly
-  like the reference's wiring (their trainer hard-codes it to 0, line 287; we
-  at least compute it).
+- **L_shape** actually trains: with COCO instance annotations it runs the
+  intended per-instance path (``shape_loss.py:150-180``); otherwise it uses
+  probability-weighted (soft-mask) moments so ∂L/∂probs exists — the
+  reference hard-codes its λ1 term to 0 (line 287), and a hard-argmax
+  evaluation (round 1 here) carries no gradient.
 - **L_smooth** is TV on the foreground softmax probability of the initial
   segmentation — the reference's stated intent (comment at line 459) instead
   of its dummy constant-map application (line 462, which is identically 0).
@@ -276,7 +275,11 @@ def train_end_to_end(
     init_key, loop_key = jax.random.split(key)
     sample = jnp.zeros((train_cfg.batch_size, *cfg.preprocessing.resize_dim, 3), jnp.float32)
 
-    ckpt = CheckpointManager(train_cfg.checkpoint_dir, max_to_keep=3)
+    ckpt = CheckpointManager(
+        train_cfg.checkpoint_dir, max_to_keep=3,
+        best_metric=train_cfg.checkpoint_best_metric,
+        best_mode=train_cfg.checkpoint_best_mode,
+    )
     state = None
     start_epoch = 0
     if train_cfg.resume and ckpt.latest_step is not None:
@@ -403,7 +406,8 @@ def train_end_to_end(
                 + " ".join(f"{k}={v:.4f}" for k, v in sorted(avg.items()))
             )
             if (epoch + 1) % train_cfg.save_epoch_interval == 0 or epoch == num_epochs - 1:
-                ckpt.save(int(state.step), {"state": jax.device_get(state), "epoch": epoch})
+                ckpt.save(int(state.step), {"state": jax.device_get(state), "epoch": epoch},
+                          metrics={"loss": float(epoch_loss)})
     ckpt.wait()
     logger.close()
     return state, history

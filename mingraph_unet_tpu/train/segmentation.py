@@ -130,7 +130,11 @@ def train_unet_segmentation(
 
     sample_imgs = jnp.zeros((train_cfg.batch_size, *cfg.preprocessing.resize_dim, 3), jnp.uint8)
 
-    ckpt = CheckpointManager(train_cfg.checkpoint_dir, max_to_keep=3)
+    ckpt = CheckpointManager(
+        train_cfg.checkpoint_dir, max_to_keep=3,
+        best_metric=train_cfg.checkpoint_best_metric,
+        best_mode=train_cfg.checkpoint_best_mode,
+    )
     start_epoch = 0
     state = None
     if train_cfg.resume and ckpt.latest_step is not None:
@@ -238,7 +242,8 @@ def train_unet_segmentation(
             history["epoch_loss"].append(epoch_loss)
             print(f"[train] epoch {epoch + 1}/{num_epochs} avg_loss={epoch_loss:.4f}")
             if (epoch + 1) % train_cfg.save_epoch_interval == 0 or epoch == num_epochs - 1:
-                ckpt.save(int(state.step), {"state": jax.device_get(state), "epoch": epoch})
+                ckpt.save(int(state.step), {"state": jax.device_get(state), "epoch": epoch},
+                          metrics={"loss": float(epoch_loss)})
     ckpt.wait()
     logger.close()
     return state, history

@@ -49,6 +49,22 @@ class TestAblation:
         with pytest.raises(FileNotFoundError):
             run_ablation_experiment("Min-Cut Only", None, None, allow_mock=False)
 
+    @pytest.mark.slow
+    def test_trained_table3_two_variants(self, tmp_path, capsys):
+        """End-to-end Table 3: train two genuinely different architectures on
+        a synthetic annotated dataset, evaluate with the yield harness — the
+        path the reference only mocks (ablation_study.py:43-51)."""
+        from mingraph_unet_tpu.experiments.ablation_study import run_ablation_study_trained
+
+        rows = run_ablation_study_trained(
+            str(tmp_path), variants=["graph_construction", "combined"],
+            num_images=4, image_size=(32, 32), epochs=1, eval_images=4,
+        )
+        assert len(rows) == 2
+        assert all(not r["mocked"] for r in rows)
+        assert all(np.isfinite(r["count_accuracy_perc"]) for r in rows)
+        assert "TRAINED" in capsys.readouterr().out
+
 
 class TestSegmentationPerformance:
     def test_eval_after_training(self, tmp_path, capsys):

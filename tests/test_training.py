@@ -103,6 +103,22 @@ class TestSegmentationTrainer:
         assert history["epoch_loss"][-1] < history["epoch_loss"][0] * 0.9
 
 
+class TestCheckpointRetention:
+    def test_best_metric_retention(self, tmp_path):
+        """best_metric keeps the max_to_keep best checkpoints, not the newest."""
+        from mingraph_unet_tpu.train.checkpoint import CheckpointManager
+
+        cm = CheckpointManager(str(tmp_path), max_to_keep=2, best_metric="loss", best_mode="min")
+        for step, loss in [(1, 0.9), (2, 0.2), (3, 0.7), (4, 0.5)]:
+            cm.save(step, {"state": {"w": np.full((2,), loss, np.float32)}},
+                    metrics={"loss": loss})
+        cm.wait()
+        assert cm.best_step == 2
+        kept = sorted(cm._mngr.all_steps())
+        assert kept == [2, 4]  # the two lowest losses
+        cm.close()
+
+
 class TestMultistepWindow:
     def test_multistep_equals_sequential(self):
         """lax.scan window == sequential application of the same step fn
