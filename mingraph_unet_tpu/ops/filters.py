@@ -175,7 +175,7 @@ def _equalize_channel_u8(chan: jnp.ndarray) -> jnp.ndarray:
 def equalize_histogram_gray(gray_u8: jnp.ndarray) -> jnp.ndarray:
     """Equalize a uint8 grayscale image (HW), cf.
     ``histogram_equalization.py:35-49``."""
-    return _equalize_channel_u8(jnp.asarray(gray_u8)).astype(jnp.uint8)
+    return _equalize_channel_u8_nibble(jnp.asarray(gray_u8)).astype(jnp.uint8)
 
 
 # OpenCV RGB↔YUV (analog, 8-bit offset 128) coefficients.
@@ -212,13 +212,45 @@ def equalize_histogram_rgb(rgb_u8: jnp.ndarray) -> jnp.ndarray:
     u = m[1, 0] * r + m[1, 1] * g + m[1, 2] * b
     v = m[2, 0] * r + m[2, 1] * g + m[2, 2] * b
     y_u8 = jnp.clip(jnp.round(y), 0, 255).astype(jnp.int32)
-    y_eq = _equalize_channel_u8(y_u8).astype(jnp.float32)
+    y_eq = _equalize_channel_u8_nibble(y_u8).astype(jnp.float32)
     mi = _YUV2RGB
     r2 = mi[0, 0] * y_eq + mi[0, 2] * v
     g2 = mi[1, 0] * y_eq + mi[1, 1] * u + mi[1, 2] * v
     b2 = mi[2, 0] * y_eq + mi[2, 1] * u
     rgb_eq = jnp.stack([r2, g2, b2], axis=-1)
     return jnp.clip(jnp.round(rgb_eq), 0, 255).astype(jnp.uint8)
+
+
+def _equalize_channel_u8_nibble(chan: jnp.ndarray) -> jnp.ndarray:
+    """cv2.equalizeHist, nibble-factored for the MXU. Bit-exact with
+    :func:`_equalize_channel_u8`.
+
+    The 256-bin one-hot form scans the image once per bin (≈537 MB of reads
+    per 512² image after fusion). Factoring each value ``v = 16·hi + lo``
+    into two 16-wide one-hots A, B turns the histogram into the 16×16 matmul
+    ``AᵀB`` and the LUT application into ``((A·L)·B).sum(-1)`` — ~2.3× less
+    traffic, everything exact (one-hot selections of integers ≤ 2²¹ in bf16
+    matmuls with fp32 accumulation).
+    """
+    flat = chan.reshape(-1).astype(jnp.int32)
+    n = flat.shape[0]
+    hi = flat >> 4
+    lo = flat & 15
+    bins16 = jnp.arange(16, dtype=jnp.int32)
+    a = (hi[:, None] == bins16[None, :]).astype(jnp.bfloat16)  # (N, 16)
+    b = (lo[:, None] == bins16[None, :]).astype(jnp.bfloat16)  # (N, 16)
+    hist = jnp.einsum(
+        "nh,nl->hl", a, b, preferred_element_type=jnp.float32
+    ).reshape(256)  # hist[16·hi + lo]
+    cdf = jnp.cumsum(hist)
+    total = jnp.float32(n)
+    cdf_min = jnp.min(jnp.where(hist > 0, cdf, total + 1.0))
+    denom = jnp.maximum(total - cdf_min, 1.0)
+    lut = jnp.clip(jnp.round((cdf - cdf_min) / denom * 255.0), 0.0, 255.0)
+    lut2 = lut.reshape(16, 16).astype(jnp.bfloat16)  # L[hi, lo], values ≤255 exact
+    rows = jnp.einsum("nh,hl->nl", a, lut2, preferred_element_type=jnp.float32)
+    out = (rows * b.astype(jnp.float32)).sum(-1).astype(jnp.int32)
+    return out.reshape(chan.shape)
 
 
 def _equalize_channel_batched(y_i32: jnp.ndarray, use_pallas: bool) -> jnp.ndarray:
@@ -233,7 +265,7 @@ def _equalize_channel_batched(y_i32: jnp.ndarray, use_pallas: bool) -> jnp.ndarr
         from mingraph_unet_tpu.ops.pallas.histeq import equalize_channel_pallas
 
         return equalize_channel_pallas(y_i32)
-    return jax.vmap(_equalize_channel_u8)(y_i32)
+    return jax.vmap(_equalize_channel_u8_nibble)(y_i32)
 
 
 def _histeq_pallas_ok(h: int, w: int) -> bool:

@@ -196,6 +196,14 @@ def exp_histeq():
 
     timed_loop(luma_xla, (y,), label="hist-eq luma only (XLA one-hot)")
 
+    def luma_nibble(y, c):
+        from mingraph_unet_tpu.ops.filters import _equalize_channel_u8_nibble
+
+        out = jax.vmap(_equalize_channel_u8_nibble)(y + (c * 1e-12).astype(jnp.int32))
+        return out.astype(jnp.float32).sum()
+
+    timed_loop(luma_nibble, (y,), label="hist-eq luma only (nibble matmul)")
+
     def sobel(rgb, c):
         return filters.sobel_magnitude(rgb.astype(jnp.float32) + c * 1e-12).sum()
 
