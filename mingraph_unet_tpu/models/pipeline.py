@@ -48,6 +48,7 @@ from mingraph_unet_tpu.models.gat import DenseGAT, GATNetwork, fully_connected_a
 from mingraph_unet_tpu.models.mincut import MinCutRefinement
 from mingraph_unet_tpu.models.unet import UNet
 from mingraph_unet_tpu.ops import filters
+from mingraph_unet_tpu.ops import s2d as s2d_ops
 from mingraph_unet_tpu.ops.image import denormalize
 from mingraph_unet_tpu.ops.patches import broadcast_patch_to_pixels, patch_reduce_mean
 from mingraph_unet_tpu.ops.segment import gather_rows, segment_mean
@@ -138,10 +139,11 @@ class MinGraphUNet(nn.Module):
             )
 
         # === Stage 1: U-Net ===
+        skip0_s2d = f_u0_s2d = None
         if unet_outputs is not None:
             logits, skips, f_u = unet_outputs
         else:
-            logits, skips, f_u = UNet(
+            logits, skips, f_u, s2d_extras = UNet(
                 num_classes=self.num_classes,
                 init_features=self.init_features,
                 depth=self.depth,
@@ -149,11 +151,20 @@ class MinGraphUNet(nn.Module):
                 dtype=self.dtype,
                 remat=self.remat,
                 s2d_level0=self.unet_s2d_level0,
+                return_s2d_extras=True,
                 name="unet",
             )(images, train=train)
+            skip0_s2d = s2d_extras["skip0_s2d"]
+            f_u0_s2d = s2d_extras["f_u0_s2d"]
 
         # === Stage 2: initial patch-node features (real, not stubbed) ===
-        unet_patch = patch_reduce_mean(skips[0], self.patch_size)  # (B, nph, npw, F0)
+        # Pool from the s2d-layout skip when available: the pooled result is
+        # identical (same values, fp summation order aside) and the full-res
+        # skips[0] relayout then has no in-graph consumer.
+        if skip0_s2d is not None:
+            unet_patch = s2d_ops.patch_reduce_mean_s2d(skip0_s2d, self.patch_size)
+        else:
+            unet_patch = patch_reduce_mean(skips[0], self.patch_size)  # (B, nph, npw, F0)
         unet_patch = nn.Dense(
             self.unet_patch_feature_dim, dtype=self.dtype, name="patch_feature_proj"
         )(unet_patch)
@@ -204,9 +215,13 @@ class MinGraphUNet(nn.Module):
 
         # Adapter for L_feature: pooled decoder features → GAT width (the
         # reference stubs this pair with randn, train_end_to_end.py:338).
+        if f_u0_s2d is not None:
+            f_u0_patch = s2d_ops.patch_reduce_mean_s2d(f_u0_s2d, self.patch_size)
+        else:
+            f_u0_patch = patch_reduce_mean(f_u[0], self.patch_size)
         f_unet_patches = nn.Dense(
             self.gat_output_dim, dtype=self.dtype, name="feature_consistency_proj"
-        )(patch_reduce_mean(f_u[0], self.patch_size)).astype(jnp.float32)
+        )(f_u0_patch).astype(jnp.float32)
 
         nph, npw = gat_feats.shape[1], gat_feats.shape[2]
         if self.use_partition:
@@ -271,13 +286,48 @@ class MinGraphUNet(nn.Module):
             fused = f_u[0].astype(self.dtype)
 
         # === Stage 7: detection ===
+        # Pooled fast path: when the head would pre-pool with a window equal
+        # to the patch pitch, pool-then-concat equals concat-then-pool —
+        # f_g_pixel is patch-constant, so its pooled form IS f_g_patch, and
+        # the pooled f_u[0] is the patch mean (computable straight from the
+        # s2d layout). The full-res fused map then has no consumer (unless
+        # the dense head needs it) and XLA eliminates the ~0.5 GB/step
+        # broadcast+concat+pool chain. Same parameter tree either way
+        # (pre_pool_size is not a parameter), numerics equal up to fp
+        # summation order — the pre-pool path is already a documented
+        # production divergence from the reference-exact default.
+        pooled_fast = (
+            self.detection_pre_pool is not None
+            and h > self.detection_pre_pool
+            and h % self.detection_pre_pool == 0
+            and w % self.detection_pre_pool == 0
+            and h // self.detection_pre_pool == self.patch_size
+            and w // self.detection_pre_pool == self.patch_size
+        )
+        if pooled_fast:
+            if f_u0_s2d is not None:
+                pooled_u = s2d_ops.patch_reduce_mean_s2d(
+                    f_u0_s2d.astype(self.dtype), self.patch_size
+                )
+            else:
+                pooled_u = patch_reduce_mean(f_u[0].astype(self.dtype), self.patch_size)
+            if self.use_fusion:
+                det_in = jnp.concatenate(
+                    [pooled_u, f_g_patch.astype(self.dtype)], axis=-1
+                )
+            else:
+                det_in = pooled_u
+            det_pre_pool = None
+        else:
+            det_in = fused.astype(self.dtype)
+            det_pre_pool = self.detection_pre_pool
         det = DetectionHead(
             num_classes=self.num_detection_classes,
             fc_hidden_dim=self.fc_hidden_dim,
-            pre_pool_size=self.detection_pre_pool,
+            pre_pool_size=det_pre_pool,
             dtype=self.dtype,
             name="detection_head",
-        )(fused.astype(self.dtype), train=train)
+        )(det_in, train=train)
         if self.num_detection_classes > 1:
             bboxes, confidence, class_scores = det
         else:

@@ -337,8 +337,9 @@ class UNetDecoder(nn.Module):
         bottleneck: jnp.ndarray,
         train: bool = False,
         skip0_s2d: Optional[jnp.ndarray] = None,
-    ) -> Tuple[jnp.ndarray, List[jnp.ndarray]]:
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray], Optional[jnp.ndarray]]:
         x = bottleneck
+        f_u0_s2d: Optional[jnp.ndarray] = None
         feats_deep_to_shallow: List[jnp.ndarray] = []
         prev_channels = self.init_features * (2**self.depth)
         for j, i in enumerate(reversed(range(self.depth))):
@@ -355,7 +356,7 @@ class UNetDecoder(nn.Module):
                     if skip0_s2d is not None
                     else s2d_ops.space_to_depth(skips[0])
                 )
-                x = DecoderBlock(
+                f_u0_s2d = DecoderBlock(
                     out_features=out_ch,
                     up_features=prev_channels // 2,
                     use_batchnorm=self.use_batchnorm,
@@ -364,7 +365,7 @@ class UNetDecoder(nn.Module):
                     s2d=True,
                     name=f"block{j}",
                 )(x, skip_s2d, train)
-                x = s2d_ops.depth_to_space(x)
+                x = s2d_ops.depth_to_space(f_u0_s2d)
             else:
                 x = DecoderBlock(
                     out_features=out_ch,
@@ -376,11 +377,26 @@ class UNetDecoder(nn.Module):
                 )(x, skips[i], train)
             feats_deep_to_shallow.append(x)
             prev_channels = out_ch
-        logits = nn.Conv(
-            self.num_classes, kernel_size=(1, 1), dtype=self.dtype, name="final_conv"
-        )(x)
+        if f_u0_s2d is not None:
+            # Final 1×1 conv applied in s2d layout (block-diagonal per-phase
+            # matmul — the identical multiply-adds), so the depth-to-space
+            # relayout happens on num_classes channels instead of
+            # init_features: consumers of the s2d form (pipeline pooling,
+            # fusion) leave the full-res f_u[0] dead for XLA to eliminate —
+            # the 32-channel d2s + 1×1 chain measured ~2.2 ms/step at 512² b8.
+            kernel, bias = _ConvParams(
+                self.num_classes, prev_channels, kernel_size=(1, 1), name="final_conv"
+            )()
+            k2 = s2d_ops.s2d_1x1_kernel(kernel)
+            logits_s2d = f_u0_s2d.astype(self.dtype) @ k2.astype(self.dtype)
+            logits_s2d = logits_s2d + s2d_ops.s2d_vector(bias).astype(logits_s2d.dtype)
+            logits = s2d_ops.depth_to_space(logits_s2d)
+        else:
+            logits = nn.Conv(
+                self.num_classes, kernel_size=(1, 1), dtype=self.dtype, name="final_conv"
+            )(x)
         # F_u ordered shallow→deep (unet_decoder.py:143-149).
-        return logits.astype(jnp.float32), feats_deep_to_shallow[::-1]
+        return logits.astype(jnp.float32), feats_deep_to_shallow[::-1], f_u0_s2d
 
 
 class UNet(nn.Module):
@@ -401,6 +417,11 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     s2d_level0: bool = False
+    # Additionally return {"skip0_s2d", "f_u0_s2d"} (s2d-layout full-res
+    # tensors, or None off the s2d path) as a 4th element. Consumers that
+    # pool/fuse from the s2d forms leave the full-res skips[0]/f_u[0]
+    # relayouts dead for XLA to eliminate.
+    return_s2d_extras: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
@@ -409,8 +430,10 @@ class UNet(nn.Module):
             self.init_features, self.depth, self.use_batchnorm, self.dtype, self.remat,
             self.s2d_level0, name="encoder"
         )(x, train)
-        logits, f_u = UNetDecoder(
+        logits, f_u, f_u0_s2d = UNetDecoder(
             self.num_classes, self.init_features, self.depth, self.use_batchnorm, self.dtype,
             self.remat, self.s2d_level0, name="decoder"
         )(skips, bottleneck, train, skip0_s2d=skip0_s2d)
+        if self.return_s2d_extras:
+            return logits, skips, f_u, {"skip0_s2d": skip0_s2d, "f_u0_s2d": f_u0_s2d}
         return logits, skips, f_u

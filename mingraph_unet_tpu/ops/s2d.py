@@ -41,6 +41,7 @@ __all__ = [
     "s2d_1x1_kernel",
     "phase_max_pool",
     "phase_mean",
+    "patch_reduce_mean_s2d",
     "conv3x3_s2d",
 ]
 
@@ -169,6 +170,23 @@ def phase_mean(y_s2d: jnp.ndarray, r: int = _R) -> jnp.ndarray:
     b, hh, ww, cc = y_s2d.shape
     c = cc // (r * r)
     return y_s2d.reshape(b, hh, ww, r * r, c).mean(axis=3)
+
+
+def patch_reduce_mean_s2d(x_s2d: jnp.ndarray, patch: int, r: int = _R) -> jnp.ndarray:
+    """Per-patch mean of the full-resolution tensor, computed in s2d layout
+    without materializing the full-res form: mean over the (patch/r)² s2d
+    pixels of each patch *and* the r² phases.
+
+    (B, H/r, W/r, r²·C) with full-res patch size ``patch`` (multiple of r)
+    → (B, H/patch, W/patch, C). Numerically equal to
+    ``patch_reduce_mean(depth_to_space(x), patch)`` up to fp summation order.
+    """
+    assert patch % r == 0, (patch, r)
+    p = patch // r
+    b, hh, ww, cc = x_s2d.shape
+    c = cc // (r * r)
+    x = x_s2d.reshape(b, hh // p, p, ww // p, p, r * r, c)
+    return x.mean(axis=(2, 4, 5))
 
 
 def conv3x3_s2d(x_s2d: jnp.ndarray, kernel_s2d: jnp.ndarray) -> jnp.ndarray:

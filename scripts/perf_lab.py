@@ -498,6 +498,194 @@ def exp_convt():
             timed_loop(fn, (x, k), label=f"convT {c_in:>3}->{c_out:<3} @{size}²→{2*size}² {name}")
 
 
+def exp_unetlevels():
+    """Per-level timing of the production (s2d level-0, BN-folded eval)
+    U-Net blocks at 512² b8: where do the remaining ms live?"""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.models.unet import ConvBlock, DecoderBlock
+    from mingraph_unet_tpu.ops import s2d as s2d_ops
+
+    key = jax.random.key(0)
+
+    def time_block(mod, inputs, label, gflop):
+        vs = jax.jit(lambda k, *ins: mod.init(k, *ins, False))(key, *inputs)
+
+        def f(vs, *rest):
+            *ins, c = rest
+            ins = list(ins)
+            ins[0] = ins[0] + c.astype(ins[0].dtype) * 1e-8
+            out = mod.apply(vs, *ins, False)
+            return out.astype(jnp.float32).sum()
+
+        ms = timed_loop(f, (vs, *inputs), label=label)
+        print(f"      -> {gflop / ms:.1f} TFLOP/s ({gflop:.1f} GF)")
+        return ms
+
+    B = BATCH
+    gf_cb = lambda size, cin, cout: 2 * B * size * size * 9 * (cin * cout + cout * cout) / 1e9
+    total = 0.0
+
+    # Encoder block0 in s2d layout: (8,256,256,12) -> (8,256,256,128)
+    x0 = jax.random.normal(key, (B, 256, 256, 12), jnp.bfloat16)
+    total += time_block(
+        ConvBlock(32, True, jnp.bfloat16, True, (3,)), (x0,),
+        "enc block0 (s2d 3->32 @512²)", gf_cb(512, 3, 32))
+    for size, cin, cout, name in [(256, 32, 64, "enc block1"),
+                                  (128, 64, 128, "enc block2"),
+                                  (64, 128, 256, "enc block3"),
+                                  (32, 256, 512, "bottleneck")]:
+        x = jax.random.normal(key, (B, size, size, cin), jnp.bfloat16)
+        total += time_block(ConvBlock(cout, True, jnp.bfloat16), (x,),
+                            f"{name} ({cin}->{cout} @{size}²)", gf_cb(size, cin, cout))
+
+    # Decoder blocks: (x_prev, skip) -> ConvT + ConvBlock
+    def gf_dec(size_out, cin_prev, cout):
+        convt = 2 * B * size_out * size_out * cin_prev * (cin_prev // 2) / 1e9
+        return convt + gf_cb(size_out, cin_prev, cout)
+
+    for sz_in, cin_prev, cout, name in [(32, 512, 256, "dec block0"),
+                                        (64, 256, 128, "dec block1"),
+                                        (128, 128, 64, "dec block2")]:
+        xp = jax.random.normal(key, (B, sz_in, sz_in, cin_prev), jnp.bfloat16)
+        sk = jax.random.normal(key, (B, 2 * sz_in, 2 * sz_in, cin_prev // 2), jnp.bfloat16)
+        mod = DecoderBlock(out_features=cout, up_features=cin_prev // 2, dtype=jnp.bfloat16)
+        vs = jax.jit(lambda k, a, b: mod.init(k, a, b, False))(key, xp, sk)
+
+        def f(vs, xp, sk, c, mod=mod):
+            out = mod.apply(vs, xp + c.astype(xp.dtype) * 1e-8, sk, False)
+            return out.astype(jnp.float32).sum()
+
+        ms = timed_loop(f, (vs, xp, sk), label=f"{name} ({cin_prev}->{cout} @{2*sz_in}²)")
+        gf = gf_dec(2 * sz_in, cin_prev, cout)
+        print(f"      -> {gf / ms:.1f} TFLOP/s ({gf:.1f} GF)")
+        total += ms
+
+    # Decoder block3 in s2d: x_prev (8,256,256,64), skip s2d (8,256,256,128)
+    xp = jax.random.normal(key, (B, 256, 256, 64), jnp.bfloat16)
+    sk = jax.random.normal(key, (B, 256, 256, 128), jnp.bfloat16)
+    mod = DecoderBlock(out_features=32, up_features=32, dtype=jnp.bfloat16, s2d=True)
+    vs = jax.jit(lambda k, a, b: mod.init(k, a, b, False))(key, xp, sk)
+
+    def f3(vs, xp, sk, c):
+        out = mod.apply(vs, xp + c.astype(xp.dtype) * 1e-8, sk, False)
+        return out.astype(jnp.float32).sum()
+
+    ms = timed_loop(f3, (vs, xp, sk), label="dec block3 (s2d 64->32 @512²)")
+    gf = gf_dec(512, 64, 32)
+    print(f"      -> {gf / ms:.1f} TFLOP/s ({gf:.1f} GF)")
+    total += ms
+
+    # d2s + final 1x1 conv
+    y = jax.random.normal(key, (B, 256, 256, 128), jnp.bfloat16)
+    k1 = jax.random.normal(key, (1, 1, 32, 2), jnp.bfloat16)
+
+    def final(y, k1, c):
+        z = s2d_ops.depth_to_space(y + c.astype(y.dtype) * 1e-8)
+        out = jax.lax.conv_general_dilated(
+            z, k1, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
+        return out.astype(jnp.float32).sum()
+
+    total += timed_loop(final, (y, k1), label="d2s + final 1x1 conv @512²")
+    print(f"[lab] sum of levels: {total:.2f} ms/step")
+
+
+def exp_graph():
+    """Graph-branch breakdown: stages 2-7 with precomputed U-Net outputs,
+    plus the pooled-fusion detection alternative."""
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.models.detection import DetectionHead
+    from mingraph_unet_tpu.models.gat import GATNetwork
+    from mingraph_unet_tpu.models.mincut import MinCutRefinement
+    from mingraph_unet_tpu.models.pipeline import MinGraphUNet
+    from mingraph_unet_tpu.ops.patches import broadcast_patch_to_pixels, patch_reduce_mean
+
+    key = jax.random.key(0)
+    B = BATCH
+    x = jnp.zeros((B, SIZE, SIZE, 3), jnp.float32)
+    model = MinGraphUNet(dtype=jnp.bfloat16, detection_pre_pool=32)
+    variables = jax.jit(model.init)(key, x)
+
+    def full(variables, x, c):
+        out = model.apply(variables, x + c * 1e-12, train=False)
+        return out["logits"].sum() + out["pred_confidence"].sum() + out["pred_bboxes"].sum()
+
+    t_full = timed_loop(full, (variables, x), label="full pipeline (prod)")
+
+    # Precompute U-Net outputs; pass them in so the loop measures stages 2-7.
+    from mingraph_unet_tpu.models.unet import UNet
+
+    unet = UNet(dtype=jnp.bfloat16, s2d_level0=True)
+    uv = {"params": variables["params"]["unet"],
+          "batch_stats": variables["batch_stats"]["unet"]}
+    logits, skips, f_u = jax.jit(lambda uv, x: unet.apply(uv, x, train=False))(uv, x)
+
+    def graph_only(variables, x, logits, skips, f_u, c):
+        out = model.apply(
+            variables, x + c * 1e-12, train=False,
+            unet_outputs=(logits, skips, f_u))
+        return out["pred_confidence"].sum() + out["pred_bboxes"].sum() + out["l_partition"].sum()
+
+    t_graph = timed_loop(graph_only, (variables, x, logits, skips, list(f_u)),
+                         label="stages 2-7 (graph branch + det)")
+    print(f"      -> implied U-Net share: {t_full - t_graph:.2f} ms")
+
+    # Sub-pieces at production shapes: 32x32 patch grid, feats dim 20.
+    pf = jax.random.normal(key, (B, 32, 32, 20), jnp.bfloat16)
+    gat = GATNetwork(hidden_dim=128, output_dim=64, num_heads=4, num_layers=1,
+                     dropout_rate=0.1, alpha=0.2, backend="lattice", dtype=jnp.bfloat16)
+    gv = jax.jit(lambda k, p: gat.init(k, p, deterministic=True))(key, pf)
+
+    def gat_f(gv, pf, c):
+        out = gat.apply(gv, pf + c.astype(pf.dtype) * 1e-8, deterministic=True)
+        return out.astype(jnp.float32).sum()
+
+    timed_loop(gat_f, (gv, pf), label="patch GAT (lattice, 32² grid)")
+
+    gf = jax.random.normal(key, (B, 32, 32, 64), jnp.bfloat16)
+    mc = MinCutRefinement(num_segments=2, backend="lattice", predictor_hidden=32,
+                          predictor_use_gnn=True, predictor_heads=2, dtype=jnp.bfloat16)
+    mv = jax.jit(lambda k, g: mc.init(k, g, deterministic=True))(key, gf)
+
+    def mc_f(mv, gf, c):
+        lp, sa = mc.apply(mv, gf + c.astype(gf.dtype) * 1e-8, deterministic=True)
+        return lp.sum() + sa.sum()
+
+    timed_loop(mc_f, (mv, gf), label="mincut (lattice, 32² grid)")
+
+    # Fusion + detection: full-res broadcast+concat+pre-pool vs pooled concat.
+    f_u0 = jax.random.normal(key, (B, SIZE, SIZE, 32), jnp.bfloat16)
+    f_g_patch = jax.random.normal(key, (B, 32, 32, 64), jnp.float32)
+    det = DetectionHead(dtype=jnp.bfloat16, pre_pool_size=32)
+    fused0 = jnp.concatenate(
+        [f_u0, broadcast_patch_to_pixels(f_g_patch, 16).astype(jnp.bfloat16)], axis=-1)
+    dv = jax.jit(det.init)(key, fused0)
+
+    def det_fullres(dv, f_u0, f_g_patch, c):
+        f_g_pixel = broadcast_patch_to_pixels(f_g_patch, 16)
+        fused = jnp.concatenate([f_u0 + c.astype(jnp.bfloat16) * 1e-8,
+                                 f_g_pixel.astype(jnp.bfloat16)], axis=-1)
+        bb, conf = det.apply(dv, fused, train=False)
+        return bb.sum() + conf.sum()
+
+    timed_loop(det_fullres, (dv, f_u0, f_g_patch), label="fusion+det (full-res broadcast)")
+
+    det_small = DetectionHead(dtype=jnp.bfloat16, pre_pool_size=None)
+
+    def det_pooled(dv, f_u0, f_g_patch, c):
+        pooled_u = patch_reduce_mean(f_u0 + c.astype(jnp.bfloat16) * 1e-8, 16)
+        fused = jnp.concatenate([pooled_u, f_g_patch.astype(jnp.bfloat16)], axis=-1)
+        bb, conf = det_small.apply(dv, fused, train=False)
+        return bb.sum() + conf.sum()
+
+    timed_loop(det_pooled, (dv, f_u0, f_g_patch), label="fusion+det (pooled concat)")
+
+
 if __name__ == "__main__":
     exp = sys.argv[1] if len(sys.argv) > 1 else "stages"
     {
@@ -506,6 +694,8 @@ if __name__ == "__main__":
         "histeq": exp_histeq,
         "unet": exp_unet,
         "unetparts": exp_unetparts,
+        "unetlevels": exp_unetlevels,
+        "graph": exp_graph,
         "full": exp_full,
         "train": exp_train,
         "convs": exp_convs,

@@ -109,6 +109,44 @@ class TestPoolAnd1x1:
         ours = s2d.depth_to_space(s2d.space_to_depth(x) @ s2d.s2d_1x1_kernel(k))
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
 
+    def test_patch_reduce_mean_s2d(self):
+        from mingraph_unet_tpu.ops.patches import patch_reduce_mean
+
+        x = jnp.asarray(rng(7).standard_normal((2, 16, 16, 5)), jnp.float32)
+        for patch in (2, 4, 8):
+            ref = patch_reduce_mean(x, patch)
+            ours = s2d.patch_reduce_mean_s2d(s2d.space_to_depth(x), patch)
+            np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-6)
+
+
+class TestUNetS2DExtras:
+    def test_extras_consistent_with_fullres(self):
+        from mingraph_unet_tpu.models.unet import UNet
+
+        unet = UNet(init_features=8, depth=2, s2d_level0=True, return_s2d_extras=True)
+        x = jnp.asarray(rng(8).standard_normal((2, 16, 16, 3)), jnp.float32)
+        variables = unet.init(jax.random.key(0), x)
+        logits, skips, f_u, ex = unet.apply(variables, x, train=False)
+        np.testing.assert_allclose(
+            np.asarray(s2d.depth_to_space(ex["skip0_s2d"])), np.asarray(skips[0]), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2d.depth_to_space(ex["f_u0_s2d"])), np.asarray(f_u[0]), atol=1e-6
+        )
+        # Default return arity unchanged.
+        out3 = UNet(init_features=8, depth=2, s2d_level0=True).apply(variables, x, train=False)
+        assert len(out3) == 3
+        np.testing.assert_allclose(np.asarray(out3[0]), np.asarray(logits), atol=1e-6)
+
+    def test_extras_none_off_s2d_path(self):
+        from mingraph_unet_tpu.models.unet import UNet
+
+        unet = UNet(init_features=8, depth=2, s2d_level0=False, return_s2d_extras=True)
+        x = jnp.zeros((1, 16, 16, 3), jnp.float32)
+        variables = unet.init(jax.random.key(0), x)
+        *_, ex = unet.apply(variables, x, train=False)
+        assert ex["skip0_s2d"] is None and ex["f_u0_s2d"] is None
+
 
 class TestUNetS2DParity:
     """UNet(s2d_level0=True) is an exact reparameterization: identical param

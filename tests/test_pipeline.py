@@ -130,6 +130,30 @@ class TestMinGraphUNet:
         out = jax.eval_shape(fast.apply, v_fast, x)
         assert out["pred_bboxes"].shape == (1, 4)
 
+    def test_pooled_detection_matches_fullres_prepool(self):
+        """When the pre-pool window equals the patch pitch, the pooled
+        fast path (concat of pooled f_u0 + f_g_patch, no full-res fused
+        read) must reproduce DetectionHead(pre_pool) applied to the
+        full-res fused map: pooling a patch-constant broadcast is exact."""
+        from mingraph_unet_tpu.models.detection import DetectionHead
+
+        model = tiny_model(detection_pre_pool=4)  # 32/4 = 8 == patch_size
+        x = jnp.asarray(np.random.default_rng(1).random((2, 32, 32, 3)), jnp.float32)
+        variables = model.init(jax.random.key(0), x)
+        out = model.apply(variables, x, train=False)
+        det = DetectionHead(num_classes=1, fc_hidden_dim=32, pre_pool_size=4)
+        dv = {
+            "params": variables["params"]["detection_head"],
+            "batch_stats": variables["batch_stats"]["detection_head"],
+        }
+        bb, conf = det.apply(dv, out["fused"], train=False)
+        np.testing.assert_allclose(
+            np.asarray(out["pred_bboxes"]), np.asarray(bb), atol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(out["pred_confidence"]), np.asarray(conf), atol=1e-6
+        )
+
 
 class TestAblationVariants:
     """The five Table-3 variants instantiate genuinely different
