@@ -39,6 +39,11 @@ __all__ = ["ConvBlock", "FoldableBatchNorm", "UNetEncoder", "UNetDecoder", "UNet
 
 Dtype = Any
 
+# s2d ConvBlock convs with full-res Cin at or above this use the windowed
+# lowering (ops/s2d.py::windowed_down_kernel); below it, the dense s2d form.
+# Measured cutover on v5e at 512² b8 — see perf_lab ``wconv``.
+_WINDOWED_MIN_CIN = 48
+
 
 class _ConvParams(nn.Module):
     """Parameter holder with ``nn.Conv``'s exact tree ({kernel, bias}, same
@@ -174,8 +179,17 @@ class ConvBlock(nn.Module):
                 a, c = bn.eval_affine()
                 kernel = kernel * a
                 bias = bias * a + c
-            k2 = s2d_ops.s2d_conv3x3_kernel(kernel, groups)
-            x = s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2)
+            if cin >= _WINDOWED_MIN_CIN:
+                # Windowed lowering: full MXU lanes at 16/9× FLOPs beats the
+                # dense s2d form's 4× once Cin is large (ops/s2d.py,
+                # windowed_down_kernel). The d2s relayout it needs is cheap
+                # (~0.15 ms at 512²·64ch) next to the conv savings (~2×).
+                xf = s2d_ops.depth_to_space_grouped(x.astype(self.dtype), groups)
+                kw = s2d_ops.windowed_down_kernel(kernel)
+                x = s2d_ops.conv3x3_windowed_down(xf, kw)
+            else:
+                k2 = s2d_ops.s2d_conv3x3_kernel(kernel, groups)
+                x = s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2)
             x = x + s2d_ops.s2d_vector(bias).astype(x.dtype)
             if bn is not None and train:
                 # Per-full-res-channel statistics: fold the 4 phase groups

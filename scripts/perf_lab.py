@@ -686,6 +686,95 @@ def exp_graph():
     timed_loop(det_pooled, (dv, f_u0, f_g_patch), label="fusion+det (pooled concat)")
 
 
+def exp_wconv():
+    """Windowed 3×3 conv formulations for low-channel full-res levels.
+
+    The dense s2d conv inflates FLOPs 4× (25% tap density); expressing the
+    four outputs of each 2×2 block as one (16·Cin → 4·Cout) contraction
+    inflates only 16/9 ≈ 1.78× at full density. XLA-expressible variants:
+      down: (4,4,Cin,4Cout) stride-2 conv, full-res in → s2d out
+      up:   (2,2,4Cin,Cout) lhs_dilation-2 conv, s2d in → full-res out
+    """
+    setup()
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.ops import s2d as s2d_ops
+
+    key = jax.random.key(0)
+    B = BATCH
+    for cin, cout, size in [(64, 32, 512), (32, 32, 512), (3, 32, 512), (128, 64, 256)]:
+        gf_useful = 2 * B * size * size * 9 * cin * cout / 1e9
+        x_full = jax.random.normal(key, (B, size, size, cin), jnp.bfloat16)
+        x_s2d = s2d_ops.space_to_depth(x_full)
+        k = jax.random.normal(key, (3, 3, cin, cout), jnp.bfloat16) * 0.05
+
+        # Baseline 1: direct full-res conv.
+        def direct(x, k, c):
+            y = jax.lax.conv_general_dilated(
+                x + c.astype(jnp.bfloat16) * 1e-8, k, (1, 1), "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y.astype(jnp.float32).sum()
+
+        ms = timed_loop(direct, (x_full, k), label=f"direct {cin}->{cout} @{size}²")
+        print(f"      -> {gf_useful / ms:.1f} TF/s useful")
+
+        # Baseline 2: dense s2d conv (current production for level 0).
+        k_s2d = s2d_ops.s2d_conv3x3_kernel(k)
+
+        def dense_s2d(x, kk, c):
+            y = s2d_ops.conv3x3_s2d(x + c.astype(jnp.bfloat16) * 1e-8, kk)
+            return y.astype(jnp.float32).sum()
+
+        ms = timed_loop(dense_s2d, (x_s2d, k_s2d), label=f"dense-s2d {cin}->{cout}")
+        print(f"      -> {gf_useful / ms:.1f} TF/s useful")
+
+        # Windowed down-conv: (4,4,Cin,4Cout) stride 2, pad ((1,2),(1,2)).
+        import numpy as np
+        k_np = np.asarray(k, np.float32)
+        k_win = np.zeros((4, 4, cin, 4 * cout), np.float32)
+        for pyo in range(2):
+            for pxo in range(2):
+                ph = pyo * 2 + pxo
+                k_win[pyo:pyo + 3, pxo:pxo + 3, :, ph * cout:(ph + 1) * cout] = k_np
+        k_win = jnp.asarray(k_win, jnp.bfloat16)
+
+        def down(x, kk, c):
+            y = jax.lax.conv_general_dilated(
+                x + c.astype(jnp.bfloat16) * 1e-8, kk, (2, 2), ((1, 2), (1, 2)),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"))
+            return y.astype(jnp.float32).sum()
+
+        ms = timed_loop(down, (x_full, k_win), label=f"windowed-down {cin}->{cout}")
+        print(f"      -> {gf_useful / ms:.1f} TF/s useful")
+
+        # Up-conv: s2d in, full-res out via lhs_dilation.
+        # out(r,c) reads s2d pixels (r±)//2: kernel (2,2,4Cin,Cout) where
+        # tap (a,b) covers s2d pixel ((r-1)//2+a, ...) — build from k.
+        k_up = np.zeros((2, 2, 4 * cin, cout), np.float32)
+        # full-res out row r: window rows r-1,r,r+1. s2d row s covers rows
+        # 2s,2s+1. For out parity q=r%2: rows r-1..r+1 map to s2d rows
+        # (r-1)//2 + {0,0 or 1,1}. Tap a∈{0,1} is s2d row (r-1)//2 + a,
+        # phase py: full-res row = 2((r-1)//2+a)+py; u = that - (r-1).
+        for q in (0, 1):
+            pass  # parity-dependent → not expressible as ONE dilated conv; skip
+        # (up-conv needs parity-dependent kernels; covered by the Pallas
+        # kernel instead)
+
+    # Relayout costs.
+    x_full = jax.random.normal(key, (B, 512, 512, 32), jnp.bfloat16)
+    x_s2d = s2d_ops.space_to_depth(x_full)
+
+    def do_s2d(x, c):
+        return s2d_ops.space_to_depth(x + c.astype(jnp.bfloat16) * 1e-8).astype(jnp.float32).sum()
+
+    def do_d2s(x, c):
+        return s2d_ops.depth_to_space(x + c.astype(jnp.bfloat16) * 1e-8).astype(jnp.float32).sum()
+
+    timed_loop(do_s2d, (x_full,), label="s2d relayout 32ch @512²")
+    timed_loop(do_d2s, (x_s2d,), label="d2s relayout 128ch @256²")
+
+
 if __name__ == "__main__":
     exp = sys.argv[1] if len(sys.argv) > 1 else "stages"
     {
@@ -696,6 +785,7 @@ if __name__ == "__main__":
         "unetparts": exp_unetparts,
         "unetlevels": exp_unetlevels,
         "graph": exp_graph,
+        "wconv": exp_wconv,
         "full": exp_full,
         "train": exp_train,
         "convs": exp_convs,

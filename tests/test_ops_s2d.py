@@ -109,6 +109,60 @@ class TestPoolAnd1x1:
         ours = s2d.depth_to_space(s2d.space_to_depth(x) @ s2d.s2d_1x1_kernel(k))
         np.testing.assert_allclose(np.asarray(ours), np.asarray(ref), atol=1e-5)
 
+    def test_windowed_down_matches_direct(self):
+        r = rng(9)
+        x = jnp.asarray(r.standard_normal((2, 12, 16, 7)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((3, 3, 7, 5)), jnp.float32) * 0.1
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+        )
+        out = s2d.depth_to_space(
+            s2d.conv3x3_windowed_down(x, s2d.windowed_down_kernel(k))
+        )
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-5)
+
+    def test_depth_to_space_grouped(self):
+        r = rng(10)
+        a = jnp.asarray(r.standard_normal((1, 8, 8, 3)), jnp.float32)
+        b = jnp.asarray(r.standard_normal((1, 8, 8, 2)), jnp.float32)
+        cat = jnp.concatenate([s2d.space_to_depth(a), s2d.space_to_depth(b)], -1)
+        back = s2d.depth_to_space_grouped(cat, (3, 2))
+        np.testing.assert_array_equal(
+            np.asarray(back), np.asarray(jnp.concatenate([a, b], -1))
+        )
+
+    @pytest.mark.parametrize("groups", [(), (32, 32), (64, 16)])
+    def test_convblock_windowed_lowering_parity(self, groups):
+        """ConvBlock's s2d path switches to the windowed lowering at
+        Cin >= 48; it must still match the standard block exactly (same
+        params) in train and eval modes, including grouped inputs."""
+        from mingraph_unet_tpu.models.unet import ConvBlock
+
+        r = rng(11)
+        cin = sum(groups) if groups else 64
+        x = jnp.asarray(r.standard_normal((2, 8, 8, cin)), jnp.float32)
+        blk_std = ConvBlock(48, True, jnp.float32)
+        variables = blk_std.init(jax.random.key(1), x, False)
+        if groups:
+            offs = np.cumsum((0,) + groups)
+            xs = jnp.concatenate(
+                [s2d.space_to_depth(x[..., offs[i]:offs[i + 1]]) for i in range(len(groups))],
+                -1,
+            )
+        else:
+            xs = s2d.space_to_depth(x)
+        blk_s2d = ConvBlock(48, True, jnp.float32, True, groups)
+        ref_t, _ = blk_std.apply(variables, x, True, mutable=["batch_stats"])
+        out_t, _ = blk_s2d.apply(variables, xs, True, mutable=["batch_stats"])
+        np.testing.assert_allclose(
+            np.asarray(s2d.depth_to_space(out_t)), np.asarray(ref_t), atol=1e-5
+        )
+        ref_e = blk_std.apply(variables, x, False)
+        out_e = blk_s2d.apply(variables, xs, False)
+        np.testing.assert_allclose(
+            np.asarray(s2d.depth_to_space(out_e)), np.asarray(ref_e), atol=1e-5
+        )
+
     def test_patch_reduce_mean_s2d(self):
         from mingraph_unet_tpu.ops.patches import patch_reduce_mean
 

@@ -109,3 +109,45 @@ class TestHisteqBatchedDispatch:
 
         # CPU backend in tests: never eligible regardless of shape.
         assert not _histeq_pallas_ok(512, 512)
+
+
+class TestWindowedConv:
+    """Interpret-mode exactness of the windowed conv3x3 kernel
+    (ops/pallas/wconv.py) vs the direct XLA conv, incl. bias+ReLU epilogue
+    and grouped (concat) s2d inputs. The production pipeline uses the pure
+    XLA windowed lowering (ops/s2d.py::conv3x3_windowed_down); this kernel
+    is the VMEM-resident variant kept for the Pallas tier (it currently
+    fails in the axon relay's remote Mosaic compiler — tracked in
+    ROADMAP.md)."""
+
+    @pytest.mark.parametrize(
+        "cin,cout,h,w,groups",
+        [(8, 16, 16, 16, ()), (5, 4, 8, 12, ()), (6, 4, 8, 8, (2, 4))],
+    )
+    def test_matches_direct(self, cin, cout, h, w, groups):
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas import wconv
+
+        r = np.random.default_rng(0)
+        x = jnp.asarray(r.standard_normal((2, h, w, cin)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((3, 3, cin, cout)), jnp.float32) * 0.1
+        b = jnp.asarray(r.standard_normal((cout,)), jnp.float32)
+        ref = jax.lax.conv_general_dilated(
+            x, k, (1, 1), ((1, 1), (1, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+        ) + b
+        ref = jnp.maximum(ref, 0.0)
+        if groups:
+            offs = np.cumsum((0,) + groups)
+            xs = jnp.concatenate(
+                [s2d.space_to_depth(x[..., offs[i]:offs[i + 1]]) for i in range(len(groups))],
+                -1,
+            )
+        else:
+            xs = s2d.space_to_depth(x)
+        out = wconv.wconv3x3_s2d(
+            xs, wconv.wconv3x3_weights(k), b, groups=groups, relu=True,
+            row_tile=4, interpret=True,
+        )
+        np.testing.assert_allclose(
+            np.asarray(s2d.depth_to_space(out)), np.asarray(ref), atol=1e-5
+        )
