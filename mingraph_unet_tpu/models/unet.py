@@ -39,9 +39,15 @@ __all__ = ["ConvBlock", "FoldableBatchNorm", "UNetEncoder", "UNetDecoder", "UNet
 
 Dtype = Any
 
-# s2d ConvBlock convs with full-res Cin at or above this use the windowed
-# lowering (ops/s2d.py::windowed_down_kernel); below it, the dense s2d form.
-# Measured cutover on v5e at 512² b8 — see perf_lab ``wconv``.
+# ConvBlock convs whose input is already full-res NHWC use the windowed
+# lowering (ops/s2d.py::windowed_down_kernel) at or above this Cin; below
+# it, space-to-depth + the dense s2d form. For inputs already in s2d layout
+# the dense form is ALWAYS used: the windowed conv is ~1.9× faster on the
+# MXU (90 vs 48 TF/s useful at 64→32 512² b8 on v5e), but the d2s
+# materialization it needs costs ~1.9 ms per 512²·32ch tensor (~6× off the
+# HBM roofline — XLA lowers the interleaving transpose poorly), which eats
+# the win. Measured in perf_lab ``wconv``; a layout-fused Pallas kernel
+# (ops/pallas/wconv.py) is the path to windowed FLOPs without the relayout.
 _WINDOWED_MIN_CIN = 48
 
 
@@ -131,6 +137,12 @@ class ConvBlock(nn.Module):
     dtype: Dtype = jnp.float32
     s2d: bool = False
     s2d_in_groups: Tuple[int, ...] = ()
+    # Input arrives full-res NHWC (output is still s2d). Callers that already
+    # hold full-res tensors use this to skip the internal d2s: XLA lowers the
+    # fused concat→slice→d2s→concat chain of ``depth_to_space_grouped`` on a
+    # concatenated s2d input into one slow relayout kernel (~3.8 ms at 512²
+    # b8 on v5e vs ~0.2 ms per plain d2s — see perf_lab ``wconv``).
+    s2d_in_full_res: bool = False
 
     def _conv(self, x, kernel, bias):
         y = jax.lax.conv_general_dilated(
@@ -143,9 +155,10 @@ class ConvBlock(nn.Module):
         return y + bias.astype(y.dtype)
 
     @nn.compact
-    def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+    def __call__(self, x: jnp.ndarray, train: bool = False, fused_up=None) -> jnp.ndarray:
         if self.s2d:
-            return self._call_s2d(x, train)
+            return self._call_s2d(x, train, fused_up)
+        assert fused_up is None, "fused_up is an s2d-path feature"
         for i in range(2):
             kernel, bias = _ConvParams(self.features, x.shape[-1], name=f"conv{i + 1}")()
             if self.use_batchnorm:
@@ -164,10 +177,18 @@ class ConvBlock(nn.Module):
             x = nn.relu(x)
         return x
 
-    def _call_s2d(self, x: jnp.ndarray, train: bool) -> jnp.ndarray:
-        b, hh, ww, cc = x.shape
-        cin = cc // 4
+    def _call_s2d(self, x: jnp.ndarray, train: bool, fused_up=None) -> jnp.ndarray:
+        if self.s2d_in_full_res:
+            b, h, w, cin = x.shape
+            hh, ww = h // 2, w // 2
+        elif fused_up is not None:
+            b, hh, ww, _ = x.shape
+            cin = sum(self.s2d_in_groups)
+        else:
+            b, hh, ww, cc = x.shape
+            cin = cc // 4
         for i in range(2):
+            full_res_in = self.s2d_in_full_res and i == 0
             groups = self.s2d_in_groups if (i == 0 and self.s2d_in_groups) else (cin,)
             kernel, bias = _ConvParams(self.features, cin, name=f"conv{i + 1}")()
             bn = (
@@ -179,15 +200,45 @@ class ConvBlock(nn.Module):
                 a, c = bn.eval_affine()
                 kernel = kernel * a
                 bias = bias * a + c
-            if cin >= _WINDOWED_MIN_CIN:
+            if fused_up is not None and i == 0:
+                # Fused upsample+conv1 (decoder): conv1(concat[skip, up]) with
+                # up = x_prev·Wt splits by linearity into
+                #   conv(skip, K_a) + conv(x_prev, Wt∘K_b) + biasfield,
+                # where Wt∘K_b contracts the ConvTranspose matmul into
+                # conv1's kernel. This never materializes the concat or the
+                # upsampled tensor in HBM (~1.7 ms/step at 512² b8 on v5e)
+                # and runs the x_prev term at its un-upsampled channel width
+                # (half the FLOPs of the equivalent conv on ``up``).
+                # ``biasfield`` is the conv of the constant upsample-bias map
+                # — constant in the interior but attenuated at borders by
+                # SAME padding, so it is computed exactly with one conv on a
+                # broadcast map (batch-1; hoisted by XLA as loop-invariant).
+                x_prev, wt, bias_up = fused_up
+                skip_c = groups[0]
+                k2 = s2d_ops.s2d_conv3x3_kernel(kernel, groups)
+                k2a = k2[:, :, : 4 * skip_c, :]
+                k2b = k2[:, :, 4 * skip_c :, :]
+                k2b_x = jnp.einsum("cq,yxqo->yxco", wt.astype(k2b.dtype), k2b)
+                bmap = jnp.broadcast_to(
+                    s2d_ops.s2d_vector(bias_up).astype(self.dtype),
+                    (1, hh, ww, 4 * (cin - skip_c)),
+                )
+                x = (
+                    s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2a)
+                    + s2d_ops.conv3x3_s2d(x_prev.astype(self.dtype), k2b_x)
+                    + s2d_ops.conv3x3_s2d(bmap, k2b)
+                )
+            elif full_res_in and cin >= _WINDOWED_MIN_CIN:
                 # Windowed lowering: full MXU lanes at 16/9× FLOPs beats the
-                # dense s2d form's 4× once Cin is large (ops/s2d.py,
-                # windowed_down_kernel). The d2s relayout it needs is cheap
-                # (~0.15 ms at 512²·64ch) next to the conv savings (~2×).
-                xf = s2d_ops.depth_to_space_grouped(x.astype(self.dtype), groups)
+                # dense s2d form's 4× — but only worth it when the input is
+                # already full-res (see _WINDOWED_MIN_CIN: a d2s relayout
+                # would cost more than the conv saves).
                 kw = s2d_ops.windowed_down_kernel(kernel)
-                x = s2d_ops.conv3x3_windowed_down(xf, kw)
+                x = s2d_ops.conv3x3_windowed_down(x.astype(self.dtype), kw)
             else:
+                if full_res_in:
+                    x = s2d_ops.space_to_depth(x)
+                    groups = (cin,)
                 k2 = s2d_ops.s2d_conv3x3_kernel(kernel, groups)
                 x = s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2)
             x = x + s2d_ops.s2d_vector(bias).astype(x.dtype)
@@ -307,17 +358,16 @@ class DecoderBlock(nn.Module):
             self.up_features, x_prev.shape[-1], kernel_size=(2, 2), name="upsample"
         )()
         wt = s2d_ops.s2d_convt2x2_kernel(kernel)  # (Cin, 4·up_features)
-        x_up = x_prev.astype(self.dtype) @ wt.astype(self.dtype)
-        x_up = x_up + s2d_ops.s2d_vector(bias).astype(x_up.dtype)
-        if x_up.shape[:3] != x_skip_s2d.shape[:3]:
+        if x_prev.shape[:3] != x_skip_s2d.shape[:3]:
             raise ValueError(
                 "s2d DecoderBlock requires matching skip/up grids "
-                f"(got {x_skip_s2d.shape} vs {x_up.shape}); odd input sizes "
-                "must use the standard path."
+                f"(got skip {x_skip_s2d.shape} vs prev {x_prev.shape}); odd "
+                "input sizes must use the standard path."
             )
         skip_c = x_skip_s2d.shape[-1] // 4
-        x = jnp.concatenate([x_skip_s2d.astype(self.dtype), x_up], axis=-1)
         block_cls = _conv_block_cls(self.remat)
+        # The upsample matmul is folded into the ConvBlock's first conv
+        # (fused_up): no concat or upsampled tensor ever hits HBM.
         return block_cls(
             self.out_features,
             self.use_batchnorm,
@@ -325,7 +375,11 @@ class DecoderBlock(nn.Module):
             True,  # s2d
             (skip_c, self.up_features),
             name="conv_block",
-        )(x, train)
+        )(
+            x_skip_s2d,
+            train,
+            (x_prev.astype(self.dtype), wt, bias),
+        )
 
 
 class UNetDecoder(nn.Module):

@@ -69,9 +69,11 @@ def wconv3x3_weights(kernel: jnp.ndarray) -> jnp.ndarray:
 
 
 def _kernel_body(relu: bool, row_tile: int, groups: Tuple[int, ...],
-                 out_dtype, top_ref, cur_ref, bot_ref, w_ref, b_ref, o_ref):
+                 out_dtype, top_ref, cur_ref, bot_ref, w_ref, b_ref, o_ref,
+                 patches_ref):
     i = pl.program_id(1)
     n = pl.num_programs(1)
+    cin = sum(groups)
     cur = cur_ref[0]  # (TH, Ww, 4·Cin)
     # Image-boundary halos are the conv's SAME zero padding.
     top = jnp.where(i == 0, jnp.zeros_like(top_ref[0]), top_ref[0])
@@ -81,19 +83,25 @@ def _kernel_body(relu: bool, row_tile: int, groups: Tuple[int, ...],
     zcol = jnp.zeros((band.shape[0], 1, band.shape[2]), band.dtype)
     band = jnp.concatenate([zcol, band, zcol], axis=1)  # (TH+2, Ww+2, 4·Cin)
 
-    taps = []
+    # Assemble the (TH, Ww, 16·Cin) window/patch matrix via VMEM scratch
+    # stores, NOT a vector concatenate: the 16 shifted slices carry mixed
+    # sublane/lane layout offsets, and Mosaic cannot relayout a multi-way
+    # tpu.concatenate over them (fails on real TPU) — but it lowers each
+    # store as a plain relayout copy.
     for dy in range(4):
         for dx in range(4):
             sl = band[_POS[dy]:_POS[dy] + row_tile, _POS[dx]:_POS[dx] + ww]
             ph = _PHASE[dy] * 2 + _PHASE[dx]
-            parts = []
+            d = dy * 4 + dx
             off = 0
+            goff = 0
             for g in groups:
-                parts.append(sl[..., off + ph * g: off + (ph + 1) * g])
+                patches_ref[:, :, d * cin + goff: d * cin + goff + g] = (
+                    sl[..., off + ph * g: off + (ph + 1) * g]
+                )
                 off += 4 * g
-            taps.append(parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-1))
-    patches = jnp.concatenate(taps, axis=-1)  # (TH, Ww, 16·Cin)
-    patches = patches.reshape(row_tile * ww, patches.shape[-1])
+                goff += g
+    patches = patches_ref[...].reshape(row_tile * ww, 16 * cin)
     acc = jnp.dot(patches, w_ref[...], preferred_element_type=jnp.float32)
     acc = acc + b_ref[...]
     if relu:
@@ -166,5 +174,6 @@ def wconv3x3_s2d(
         out_specs=pl.BlockSpec(
             (1, row_tile, ww, co4), lambda bi, i: (bi, i, 0, 0), memory_space=pltpu.VMEM
         ),
+        scratch_shapes=[pltpu.VMEM((row_tile, ww, 16 * cin), x_s2d.dtype)],
         interpret=interpret,
     )(x_s2d, x_s2d, x_s2d, w2, bias2)

@@ -163,6 +163,45 @@ class TestPoolAnd1x1:
             np.asarray(s2d.depth_to_space(out_e)), np.asarray(ref_e), atol=1e-5
         )
 
+    def test_convblock_full_res_input_parity(self):
+        """``s2d_in_full_res=True`` (full-res NHWC in, s2d out — the form
+        DecoderBlock feeds when conv1 is windowed) matches the standard
+        block exactly with the same params."""
+        from mingraph_unet_tpu.models.unet import ConvBlock
+
+        r = rng(12)
+        for cin in (64, 32):  # windowed and dense conv1 paths
+            x = jnp.asarray(r.standard_normal((2, 8, 8, cin)), jnp.float32)
+            blk_std = ConvBlock(48, True, jnp.float32)
+            variables = blk_std.init(jax.random.key(1), x, False)
+            blk_fr = ConvBlock(48, True, jnp.float32, True, (), True)
+            for train in (True, False):
+                kw = {"mutable": ["batch_stats"]} if train else {}
+                ref = blk_std.apply(variables, x, train, **kw)
+                out = blk_fr.apply(variables, x, train, **kw)
+                if train:
+                    ref, out = ref[0], out[0]
+                np.testing.assert_allclose(
+                    np.asarray(s2d.depth_to_space(out)), np.asarray(ref), atol=1e-5
+                )
+
+    def test_decoder_block_s2d_windowed_parity(self):
+        """s2d DecoderBlock with skip+up >= the windowed cutover (the
+        production dec level-0 shape class) matches the standard block."""
+        from mingraph_unet_tpu.models.unet import DecoderBlock
+
+        r = rng(13)
+        x_prev = jnp.asarray(r.standard_normal((2, 4, 4, 64)), jnp.float32)
+        skip = jnp.asarray(r.standard_normal((2, 8, 8, 32)), jnp.float32)
+        blk_std = DecoderBlock(32, 32, True, jnp.float32)
+        variables = blk_std.init(jax.random.key(2), x_prev, skip, False)
+        blk_s2d = DecoderBlock(32, 32, True, jnp.float32, False, True)
+        ref = blk_std.apply(variables, x_prev, skip, False)
+        out = blk_s2d.apply(variables, x_prev, s2d.space_to_depth(skip), False)
+        np.testing.assert_allclose(
+            np.asarray(s2d.depth_to_space(out)), np.asarray(ref), atol=1e-5
+        )
+
     def test_patch_reduce_mean_s2d(self):
         from mingraph_unet_tpu.ops.patches import patch_reduce_mean
 
