@@ -15,9 +15,15 @@ the band), so no full-resolution relayout ever touches HBM. Row halos come
 from two extra one-row block refs with clamped index maps; the image-boundary
 rows are zeroed in-kernel, which reproduces the conv's SAME zero padding.
 
-Reference workload: ``model/unet/unet_encoder.py:15-25`` (ConvBlock) — this
-kernel is the production lowering for its convs at the full-resolution
-levels; exactness vs the direct conv is tested in tests/test_pallas_wconv.py.
+Reference workload: ``model/unet/unet_encoder.py:15-25`` (ConvBlock).
+
+Status: compiles and is exact on real TPU (tests/test_pallas_kernels.py),
+but NOT production — measured 1.64 ms vs the dense-s2d XLA form's 0.82 ms
+for 32→32 at 512² b8 on v5e: the 16 scratch-store relayout copies that
+assemble the patch matrix (required because Mosaic cannot relayout a
+multi-way concatenate of shifted slices) cost more VMEM bandwidth than the
+windowed matmul saves in MXU time. The dense-s2d lowering (ops/s2d.py)
+remains the production path for s2d-layout convs.
 """
 
 from __future__ import annotations

@@ -114,11 +114,10 @@ class TestHisteqBatchedDispatch:
 class TestWindowedConv:
     """Interpret-mode exactness of the windowed conv3x3 kernel
     (ops/pallas/wconv.py) vs the direct XLA conv, incl. bias+ReLU epilogue
-    and grouped (concat) s2d inputs. The production pipeline uses the pure
-    XLA windowed lowering (ops/s2d.py::conv3x3_windowed_down); this kernel
-    is the VMEM-resident variant kept for the Pallas tier (it currently
-    fails in the axon relay's remote Mosaic compiler — tracked in
-    ROADMAP.md)."""
+    and grouped (concat) s2d inputs. The kernel compiles and is exact on
+    real TPU but measured slower than the production dense-s2d XLA form
+    (see the module docstring for the why); it is kept as the measured
+    Pallas reference point for this op."""
 
     @pytest.mark.parametrize(
         "cin,cout,h,w,groups",
