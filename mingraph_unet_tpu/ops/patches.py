@@ -70,10 +70,17 @@ def patch_reduce_mean(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
 
     The workhorse behind 'pooled U-Net / Sobel / hist-eq features per patch'
     (intended recipe demonstrated at ``scripts/graph_refinement.py:76-111``).
-    Implemented as an average pool so XLA lowers it to a reduce-window.
+
+    Lowered as two sequential middle-axis reshape-sums (W patches, then H
+    patches) with fp32 accumulation: the one-shot ``patchify(...).mean``
+    form makes XLA materialize a strided 6-D transpose, measured 3.95 ms vs
+    0.68 ms for (8, 512², 32) bf16 on v5e.
     """
-    p = patchify(x, patch_size)
-    return p.mean(axis=(3, 4))
+    n, h, w, c = x.shape
+    y = x.astype(jnp.float32)
+    y = y.reshape(n, h, w // patch_size, patch_size, c).sum(3)
+    y = y.reshape(n, h // patch_size, patch_size, w // patch_size, c).sum(2)
+    return (y / (patch_size * patch_size)).astype(x.dtype)
 
 
 def broadcast_patch_to_pixels(patch_vals: jnp.ndarray, patch_size: int) -> jnp.ndarray:

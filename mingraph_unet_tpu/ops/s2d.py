@@ -188,8 +188,15 @@ def patch_reduce_mean_s2d(x_s2d: jnp.ndarray, patch: int, r: int = _R) -> jnp.nd
     p = patch // r
     b, hh, ww, cc = x_s2d.shape
     c = cc // (r * r)
-    x = x_s2d.reshape(b, hh // p, p, ww // p, p, r * r, c)
-    return x.mean(axis=(2, 4, 5))
+    # Sequential middle-axis reductions (phases → W patches → H patches),
+    # fp32 accumulation: the one-shot 7-D reshape-mean makes XLA materialize
+    # a strided transpose ~6× off the HBM roofline (see patch_reduce_mean).
+    # Phases first also cuts the traffic of the spatial stages r²×.
+    x = x_s2d.astype(jnp.float32)
+    x = x.reshape(b, hh, ww, r * r, c).sum(3)
+    x = x.reshape(b, hh, ww // p, p, c).sum(3)
+    x = x.reshape(b, hh // p, p, ww // p, c).sum(2)
+    return (x / (patch * patch)).astype(x_s2d.dtype)
 
 
 def conv3x3_s2d(x_s2d: jnp.ndarray, kernel_s2d: jnp.ndarray) -> jnp.ndarray:
