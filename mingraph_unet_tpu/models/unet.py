@@ -39,16 +39,18 @@ __all__ = ["ConvBlock", "FoldableBatchNorm", "UNetEncoder", "UNetDecoder", "UNet
 
 Dtype = Any
 
-# ConvBlock convs whose input is already full-res NHWC use the windowed
-# lowering (ops/s2d.py::windowed_down_kernel) at or above this Cin; below
-# it, space-to-depth + the dense s2d form. For inputs already in s2d layout
-# the dense form is ALWAYS used: the windowed conv is ~1.9× faster on the
-# MXU (90 vs 48 TF/s useful at 64→32 512² b8 on v5e), but the d2s
-# materialization it needs costs ~1.9 ms per 512²·32ch tensor (~6× off the
-# HBM roofline — XLA lowers the interleaving transpose poorly), which eats
-# the win. Measured in perf_lab ``wconv``; a layout-fused Pallas kernel
-# (ops/pallas/wconv.py) is the path to windowed FLOPs without the relayout.
-_WINDOWED_MIN_CIN = 48
+# Layout rule for the s2d ConvBlock (all cutovers measured at 512² b8 on
+# v5e, perf_lab ``wconv``): XLA lowers s2d/d2s relayouts ~6× off the HBM
+# roofline (the interleaving transpose), so the conv lowering follows the
+# layout the input ALREADY has:
+# - input full-res NHWC → windowed conv (full MXU lanes at 16/9× FLOPs,
+#   s2d output directly, no relayout): 0.58 ms vs 1.50 for s2d+dense at
+#   3→32; 0.77 vs ~1.8 at 32→32.
+# - input already s2d → dense s2d conv (4× FLOPs but zero relayout): the
+#   windowed form's d2s costs more than its MXU win (measured 4.3 vs
+#   5.1 ms/block at dec level 0). A layout-fused Pallas kernel was tried
+#   (ops/pallas/wconv.py) and measured slower — see its docstring.
+_WINDOWED_MIN_CIN = 48  # retained for callers that force the dense form
 
 
 class _ConvParams(nn.Module):
@@ -228,17 +230,14 @@ class ConvBlock(nn.Module):
                     + s2d_ops.conv3x3_s2d(x_prev.astype(self.dtype), k2b_x)
                     + s2d_ops.conv3x3_s2d(bmap, k2b)
                 )
-            elif full_res_in and cin >= _WINDOWED_MIN_CIN:
-                # Windowed lowering: full MXU lanes at 16/9× FLOPs beats the
-                # dense s2d form's 4× — but only worth it when the input is
-                # already full-res (see _WINDOWED_MIN_CIN: a d2s relayout
-                # would cost more than the conv saves).
+            elif full_res_in:
+                # Full-res input → windowed lowering, always: it emits the
+                # s2d output directly, and the space_to_depth relayout the
+                # dense form would need costs more than any conv-time
+                # difference (see the layout rule above _WINDOWED_MIN_CIN).
                 kw = s2d_ops.windowed_down_kernel(kernel)
                 x = s2d_ops.conv3x3_windowed_down(x.astype(self.dtype), kw)
             else:
-                if full_res_in:
-                    x = s2d_ops.space_to_depth(x)
-                    groups = (cin,)
                 k2 = s2d_ops.s2d_conv3x3_kernel(kernel, groups)
                 x = s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2)
             x = x + s2d_ops.s2d_vector(bias).astype(x.dtype)
@@ -290,15 +289,18 @@ class UNetEncoder(nn.Module):
         use_s2d = self.s2d_level0 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
         for i in range(self.depth):
             if i == 0 and use_s2d:
-                x0 = s2d_ops.space_to_depth(x.astype(self.dtype))
+                # Full-res input straight into the block: conv1 uses the
+                # windowed lowering, so the image never pays an explicit
+                # space_to_depth relayout (~0.9 ms at 512² b8 on v5e).
                 skip0_s2d = block_cls(
                     features,
                     self.use_batchnorm,
                     self.dtype,
                     True,  # s2d
-                    (x.shape[-1],),
+                    (),
+                    True,  # s2d_in_full_res
                     name="block0",
-                )(x0, train)
+                )(x.astype(self.dtype), train)
                 skips.append(s2d_ops.depth_to_space(skip0_s2d))
                 # MaxPool(2,2) == channelwise max over the phase block.
                 x = s2d_ops.phase_max_pool(skip0_s2d)

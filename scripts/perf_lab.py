@@ -578,17 +578,28 @@ def exp_unetlevels():
     print(f"      -> {gf / ms:.1f} TFLOP/s ({gf:.1f} GF)")
     total += ms
 
-    # d2s + final 1x1 conv
+    # Final 1x1 conv, production form: s2d matmul then d2s on num_classes.
     y = jax.random.normal(key, (B, 256, 256, 128), jnp.bfloat16)
     k1 = jax.random.normal(key, (1, 1, 32, 2), jnp.bfloat16)
 
     def final(y, k1, c):
-        z = s2d_ops.depth_to_space(y + c.astype(y.dtype) * 1e-8)
-        out = jax.lax.conv_general_dilated(
-            z, k1, (1, 1), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC"))
-        return out.astype(jnp.float32).sum()
+        k2 = s2d_ops.s2d_1x1_kernel(k1)
+        z = (y + c.astype(y.dtype) * 1e-8) @ k2
+        out = s2d_ops.depth_to_space(z.astype(jnp.float32))
+        return out.sum()
 
-    total += timed_loop(final, (y, k1), label="d2s + final 1x1 conv @512²")
+    total += timed_loop(final, (y, k1), label="s2d final 1x1 + d2s(2ch) @512²")
+
+    # Inter-level glue: max pools.
+    import flax.linen as fnn
+    for size, ch in [(256, 64), (128, 128), (64, 256)]:
+        xm = jax.random.normal(key, (B, size, size, ch), jnp.bfloat16)
+
+        def mp(x, c):
+            z = fnn.max_pool(x + c.astype(x.dtype) * 1e-8, (2, 2), (2, 2))
+            return z.astype(jnp.float32).sum()
+
+        total += timed_loop(mp, (xm,), label=f"maxpool {ch}ch @{size}²")
     print(f"[lab] sum of levels: {total:.2f} ms/step")
 
 
