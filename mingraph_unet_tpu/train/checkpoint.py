@@ -48,7 +48,13 @@ class CheckpointManager:
             best_fn=(lambda m: float(m[best_metric])) if best_metric else None,
             best_mode=best_mode,
         )
-        self._mngr = ocp.CheckpointManager(directory, options=options)
+        # Registering the handler up front lets ``item_metadata`` work on a
+        # fresh manager (otherwise it returns None with "could not be
+        # restored" warnings), which restore_latest needs to build the typed
+        # abstract target.
+        self._mngr = ocp.CheckpointManager(
+            directory, options=options, item_handlers=ocp.StandardCheckpointHandler()
+        )
 
     @property
     def latest_step(self) -> Optional[int]:
