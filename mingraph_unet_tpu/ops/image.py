@@ -137,55 +137,58 @@ def random_horizontal_flip(
     return img_out, mask_out
 
 
-def _rotation_grid(h: int, w: int, angle_rad: jnp.ndarray):
-    """Source sampling coordinates for a rotation about the image center."""
-    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
-    ys = jnp.arange(h, dtype=jnp.float32) - cy
-    xs = jnp.arange(w, dtype=jnp.float32) - cx
-    yy, xx = jnp.meshgrid(ys, xs, indexing="ij")
-    cos_a = jnp.cos(angle_rad)
-    sin_a = jnp.sin(angle_rad)
-    # Inverse rotation: output (y, x) samples input at R(-angle) @ (y, x).
-    src_y = cos_a * yy + sin_a * xx + cy
-    src_x = -sin_a * yy + cos_a * xx + cx
-    return src_y, src_x
+def _axis_interp_matrix(src: jnp.ndarray, in_size: int) -> jnp.ndarray:
+    """(out, in) 1-D linear-interpolation matrix for sample positions ``src``.
+
+    Row o carries the bilinear tent weights ``max(0, 1 − |src[o] − u|)`` —
+    identical values (incl. the zero fill outside [0, in_size−1]) to
+    gather-based bilinear sampling, but applied as a matmul: XLA lowers the
+    2-D fancy-index gather ~20× off the roofline on TPU (13.5 ms per warp
+    at b16 128², perf_lab) while the MXU does this for free.
+    """
+    u = jnp.arange(in_size, dtype=jnp.float32)[None, :]
+    return jnp.maximum(0.0, 1.0 - jnp.abs(src[:, None] - u))
 
 
-def _bilinear_sample(img: jnp.ndarray, src_y: jnp.ndarray, src_x: jnp.ndarray) -> jnp.ndarray:
-    """Bilinear sample HWC image at float coords, zero fill outside."""
+def _axis_nearest_matrix(src: jnp.ndarray, in_size: int) -> jnp.ndarray:
+    """(out, in) 1-D nearest-neighbor selection matrix (0 fill outside)."""
+    u = jnp.arange(in_size, dtype=jnp.float32)[None, :]
+    idx = jnp.round(src)[:, None]
+    return ((u == idx) & (idx >= 0) & (idx <= in_size - 1)).astype(jnp.float32)
+
+
+def _shear_cols(img: jnp.ndarray, shifts: jnp.ndarray, pad: int, nearest: bool):
+    """Resample each row at ``x + shifts[row]`` (1-D, zero fill).
+
+    The per-row uniform shift makes this a batched contiguous dynamic slice
+    of a padded row — the fast gather class on TPU — plus a fractional
+    blend for the bilinear case.
+    """
     h, w = img.shape[:2]
-    y0 = jnp.floor(src_y)
-    x0 = jnp.floor(src_x)
-    wy = (src_y - y0)[..., None]
-    wx = (src_x - x0)[..., None]
-    y0i = y0.astype(jnp.int32)
-    x0i = x0.astype(jnp.int32)
-
-    def gather(yi, xi):
-        valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-        yc = jnp.clip(yi, 0, h - 1)
-        xc = jnp.clip(xi, 0, w - 1)
-        vals = img[yc, xc]
-        return jnp.where(valid[..., None], vals, 0.0)
-
-    v00 = gather(y0i, x0i)
-    v01 = gather(y0i, x0i + 1)
-    v10 = gather(y0i + 1, x0i)
-    v11 = gather(y0i + 1, x0i + 1)
-    top = v00 * (1 - wx) + v01 * wx
-    bot = v10 * (1 - wx) + v11 * wx
-    return top * (1 - wy) + bot * wy
+    chan = img.ndim == 3
+    widths = ((0, 0), (pad, pad + 1)) + (((0, 0),) if chan else ())
+    padded = jnp.pad(img, widths)
+    if nearest:
+        k = jnp.round(shifts).astype(jnp.int32) + pad
+        rows = jax.vmap(
+            lambda r, s: jax.lax.dynamic_slice_in_dim(r, s, w, axis=0)
+        )(padded, k)
+        return rows
+    k = jnp.floor(shifts)
+    f = shifts - k
+    f = f[:, None, None] if chan else f[:, None]
+    start = k.astype(jnp.int32) + pad
+    rows = jax.vmap(
+        lambda r, s: jax.lax.dynamic_slice_in_dim(r, s, w + 1, axis=0)
+    )(padded, start)
+    return rows[:, :w] * (1.0 - f) + rows[:, 1:] * f
 
 
-def _nearest_sample(mask: jnp.ndarray, src_y: jnp.ndarray, src_x: jnp.ndarray, fill: int = 0) -> jnp.ndarray:
-    """Nearest-neighbor sample an HW label map at float coords, ``fill`` outside."""
-    h, w = mask.shape[:2]
-    yi = jnp.round(src_y).astype(jnp.int32)
-    xi = jnp.round(src_x).astype(jnp.int32)
-    valid = (yi >= 0) & (yi < h) & (xi >= 0) & (xi < w)
-    yc = jnp.clip(yi, 0, h - 1)
-    xc = jnp.clip(xi, 0, w - 1)
-    return jnp.where(valid, mask[yc, xc], fill)
+def _shear_rows(img: jnp.ndarray, shifts: jnp.ndarray, pad: int, nearest: bool):
+    """Resample each column at ``y + shifts[col]`` via transpose + _shear_cols."""
+    perm = (1, 0, 2) if img.ndim == 3 else (1, 0)
+    out = _shear_cols(img.transpose(perm), shifts, pad, nearest)
+    return out.transpose(perm)
 
 
 def random_rotation(
@@ -196,19 +199,41 @@ def random_rotation(
 ):
     """Random rotation in [-degrees, +degrees] about the center.
 
-    Image (HWC) sampled bilinearly with zero fill; mask (HW) sampled
+    Image (HWC) interpolated linearly with zero fill; mask (HW) sampled
     nearest-neighbor — both with the same angle. Equivalent of torchvision's
-    ``RandomRotation(degrees)`` (reference ``image_preprocess.py:47-48``) with
-    the mask kept geometrically consistent.
+    ``RandomRotation(degrees)`` (reference ``image_preprocess.py:47-48``)
+    with the mask kept geometrically consistent.
+
+    Lowering: the classic three-shear factorization
+    ``R(−θ) = Sx(tan θ/2) · Sy(−sin θ) · Sx(tan θ/2)`` — each shear is a
+    per-row contiguous dynamic slice + 1-D blend, which TPU executes at
+    memory speed, vs ~13.5 ms for the direct 2-D bilinear gather at b16
+    128² (the gather lowering is ~20× off the roofline). Exact identity at
+    θ=0; resampling values differ from direct bilinear only by the standard
+    three-pass interpolation (each pass is 1-D linear).
     """
+    import math
+
     angle = jax.random.uniform(key, (), minval=-degrees, maxval=degrees) * jnp.pi / 180.0
     h, w = img.shape[:2]
-    src_y, src_x = _rotation_grid(h, w, angle)
-    img_out = _bilinear_sample(img, src_y, src_x)
+    cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
+    alpha = jnp.tan(angle / 2.0)
+    beta = -jnp.sin(angle)
+    rad = math.radians(degrees)
+    pad_x = int(math.ceil(abs(math.tan(rad / 2.0)) * (h / 2.0))) + 2
+    pad_y = int(math.ceil(abs(math.sin(rad)) * (w / 2.0))) + 2
+    dy = jnp.arange(h, dtype=jnp.float32) - cy
+    dx = jnp.arange(w, dtype=jnp.float32) - cx
+
+    def warp(t, nearest):
+        t = _shear_cols(t, alpha * dy, pad_x, nearest)
+        t = _shear_rows(t, beta * dx, pad_y, nearest)
+        return _shear_cols(t, alpha * dy, pad_x, nearest)
+
+    img_out = warp(img, nearest=False)
     if mask is None:
         return img_out
-    mask_out = _nearest_sample(mask, src_y, src_x)
-    return img_out, mask_out
+    return img_out, warp(mask, nearest=True)
 
 
 def random_resized_crop(
@@ -249,11 +274,19 @@ def random_resized_crop(
 
     ys = (jnp.arange(h, dtype=jnp.float32) + 0.5) / h * crop_h + y0 - 0.5
     xs = (jnp.arange(w, dtype=jnp.float32) + 0.5) / w * crop_w + x0 - 0.5
-    src_y, src_x = jnp.meshgrid(ys, xs, indexing="ij")
-    img_out = _bilinear_sample(img, src_y, src_x)
+    # The sampling map is axis-separable, so the bilinear resample factors
+    # exactly into two 1-D interpolation matmuls (identical weights and
+    # zero fill; only fp association differs) — the 2-D gather this
+    # replaces cost ~13.5 ms at b16 128² on TPU (perf_lab).
+    my = _axis_interp_matrix(ys, h)
+    mx = _axis_interp_matrix(xs, w)
+    img_out = jnp.einsum("xu,yuc->yxc", mx, jnp.tensordot(my, img, axes=(1, 0)))
     if mask is None:
         return img_out
-    mask_out = _nearest_sample(mask, src_y, src_x)
+    ny = _axis_nearest_matrix(ys, h)
+    nx = _axis_nearest_matrix(xs, w)
+    mask_f = jnp.tensordot(ny, mask.astype(jnp.float32), axes=(1, 0))
+    mask_out = jnp.rint(jnp.tensordot(mask_f, nx, axes=(1, 1))).astype(mask.dtype)
     return img_out, mask_out
 
 
