@@ -252,6 +252,20 @@ class ConvBlock(nn.Module):
         return x
 
 
+def _max_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
+    """MaxPool(2,2) stride 2 as two sequential middle-axis reshape-maxes.
+
+    Identical values to ``nn.max_pool`` (VALID floor semantics: odd trailing
+    row/col dropped), but avoids the reduce-window lowering — measured
+    0.48 → ~0.2 ms at (8, 256², 64) bf16 on v5e (same transpose-free
+    pattern as ops/patches.py::patch_reduce_mean).
+    """
+    b, h, w, c = x.shape
+    x = x[:, : h // 2 * 2, : w // 2 * 2]
+    x = x.reshape(b, h // 2 * 2, w // 2, 2, c).max(3)
+    return x.reshape(b, h // 2, 2, w // 2, c).max(2)
+
+
 def _conv_block_cls(remat: bool):
     """ConvBlock, optionally rematerialized: with ``remat=True`` the block's
     activations are recomputed in the backward pass (``jax.checkpoint``),
@@ -307,7 +321,7 @@ class UNetEncoder(nn.Module):
             else:
                 x = block_cls(features, self.use_batchnorm, self.dtype, name=f"block{i}")(x, train)
                 skips.append(x)
-                x = nn.max_pool(x, window_shape=(2, 2), strides=(2, 2))
+                x = _max_pool_2x2(x)
             features *= 2
         bottleneck = block_cls(features, self.use_batchnorm, self.dtype, name="bottleneck")(x, train)
         return skips, bottleneck, skip0_s2d

@@ -9,6 +9,19 @@ from mingraph_unet_tpu.models import losses
 from conftest import requires_reference
 
 
+class TestMaxPool2x2:
+    def test_matches_reduce_window_even_and_odd(self):
+        import flax.linen as nn
+
+        from mingraph_unet_tpu.models.unet import _max_pool_2x2
+
+        r = np.random.default_rng(0)
+        for shape in [(2, 8, 8, 5), (1, 9, 7, 3)]:
+            x = jnp.asarray(r.standard_normal(shape), jnp.float32)
+            ref = nn.max_pool(x, (2, 2), strides=(2, 2))
+            np.testing.assert_array_equal(np.asarray(_max_pool_2x2(x)), np.asarray(ref))
+
+
 class TestShapes:
     """Shape-schedule tests from unet_encoder.py:88-93 / unet_decoder.py:171-175
     (NCHW there → NHWC here)."""
