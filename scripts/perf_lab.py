@@ -759,20 +759,15 @@ def exp_wconv():
         ms = timed_loop(down, (x_full, k_win), label=f"windowed-down {cin}->{cout}")
         print(f"      -> {gf_useful / ms:.1f} TF/s useful")
 
-        # Up-conv: s2d in, full-res out via lhs_dilation.
-        # out(r,c) reads s2d pixels (r±)//2: kernel (2,2,4Cin,Cout) where
-        # tap (a,b) covers s2d pixel ((r-1)//2+a, ...) — build from k.
-        k_up = np.zeros((2, 2, 4 * cin, cout), np.float32)
-        # full-res out row r: window rows r-1,r,r+1. s2d row s covers rows
-        # 2s,2s+1. For out parity q=r%2: rows r-1..r+1 map to s2d rows
-        # (r-1)//2 + {0,0 or 1,1}. Tap a∈{0,1} is s2d row (r-1)//2 + a,
-        # phase py: full-res row = 2((r-1)//2+a)+py; u = that - (r-1).
-        for q in (0, 1):
-            pass  # parity-dependent → not expressible as ONE dilated conv; skip
-        # (up-conv needs parity-dependent kernels; covered by the Pallas
-        # kernel instead)
+        # (A windowed *up*-conv — s2d in, full-res out — needs
+        # parity-dependent kernels, so it is not expressible as one dilated
+        # conv; the production decoder instead fuses the upsample matmul
+        # into conv1 and stays in s2d layout, models/unet.py.)
 
-    # Relayout costs.
+    # Relayout costs. NOTE: a plain `.sum()` consumer lets XLA delete the
+    # relayout entirely (the reduction is layout-invariant), so these rows
+    # UNDER-measure materialized relayout cost — a materialized d2s at
+    # 512²·32ch measures ~1.9 ms (see the DecoderBlock probes in history).
     x_full = jax.random.normal(key, (B, 512, 512, 32), jnp.bfloat16)
     x_s2d = s2d_ops.space_to_depth(x_full)
 
