@@ -275,27 +275,19 @@ class MinGraphUNet(nn.Module):
             f_g_patch = gat_feats.astype(jnp.float32)
         f_g_pixel = broadcast_patch_to_pixels(f_g_patch, self.patch_size)  # (B, H, W, Dg)
 
-        # === Stage 6: fusion === (kept in the compute dtype: the fused map is
-        # the largest activation in the pipeline — f32 here doubles the HBM
-        # traffic the detection head reads)
-        if self.use_fusion:
-            fused = fuse_features(
-                [f_u[0].astype(self.dtype)], f_g_pixel.astype(self.dtype), target_spatial_size=(h, w)
-            )
-        else:
-            fused = f_u[0].astype(self.dtype)
-
-        # === Stage 7: detection ===
+        # === Stage 7 setup: decide the detection input path first ===
         # Pooled fast path: when the head would pre-pool with a window equal
         # to the patch pitch, pool-then-concat equals concat-then-pool —
         # f_g_pixel is patch-constant, so its pooled form IS f_g_patch, and
         # the pooled f_u[0] is the patch mean (computable straight from the
         # s2d layout). The full-res fused map then has no consumer (unless
-        # the dense head needs it) and XLA eliminates the ~0.5 GB/step
-        # broadcast+concat+pool chain. Same parameter tree either way
-        # (pre_pool_size is not a parameter), numerics equal up to fp
-        # summation order — the pre-pool path is already a documented
-        # production divergence from the reference-exact default.
+        # the dense head needs it), so stage 6 below skips building it
+        # entirely — the ~0.5 GB/step broadcast+concat+pool chain never
+        # enters the graph, regardless of what the caller does with the
+        # output dict. Same parameter tree either way (pre_pool_size is not
+        # a parameter), numerics equal up to fp summation order — the
+        # pre-pool path is already a documented production divergence from
+        # the reference-exact default.
         pooled_fast = (
             self.detection_pre_pool is not None
             and h > self.detection_pre_pool
@@ -304,6 +296,22 @@ class MinGraphUNet(nn.Module):
             and h // self.detection_pre_pool == self.patch_size
             and w // self.detection_pre_pool == self.patch_size
         )
+
+        # === Stage 6: fusion === (kept in the compute dtype: the fused map is
+        # the largest activation in the pipeline — f32 here doubles the HBM
+        # traffic the detection head reads). Built only when something
+        # consumes it (see pooled_fast above).
+        fused = None
+        if not pooled_fast or self.use_dense_detection:
+            if self.use_fusion:
+                fused = fuse_features(
+                    [f_u[0].astype(self.dtype)],
+                    f_g_pixel.astype(self.dtype),
+                    target_spatial_size=(h, w),
+                )
+            else:
+                fused = f_u[0].astype(self.dtype)
+
         if pooled_fast:
             if f_u0_s2d is not None:
                 pooled_u = s2d_ops.patch_reduce_mean_s2d(
@@ -347,12 +355,13 @@ class MinGraphUNet(nn.Module):
             "region_embeddings": region_embeds,
             "region_counts": region_counts,
             "f_g_pixel": f_g_pixel,
-            "fused": fused,
             "pred_bboxes": bboxes,
             "pred_confidence": confidence,
         }
         if class_scores is not None:
             out["pred_class_scores"] = class_scores
+        if fused is not None:
+            out["fused"] = fused
         if self.use_dense_detection:
             from mingraph_unet_tpu.models.detection import DenseDetectionHead
 

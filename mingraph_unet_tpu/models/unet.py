@@ -50,7 +50,6 @@ Dtype = Any
 #   windowed form's d2s costs more than its MXU win (measured 4.3 vs
 #   5.1 ms/block at dec level 0). A layout-fused Pallas kernel was tried
 #   (ops/pallas/wconv.py) and measured slower — see its docstring.
-_WINDOWED_MIN_CIN = 48  # retained for callers that force the dense form
 
 
 class _ConvParams(nn.Module):
@@ -234,7 +233,7 @@ class ConvBlock(nn.Module):
                 # Full-res input → windowed lowering, always: it emits the
                 # s2d output directly, and the space_to_depth relayout the
                 # dense form would need costs more than any conv-time
-                # difference (see the layout rule above _WINDOWED_MIN_CIN).
+                # difference (see the layout rule at the top of this file).
                 kw = s2d_ops.windowed_down_kernel(kernel)
                 x = s2d_ops.conv3x3_windowed_down(x.astype(self.dtype), kw)
             else:

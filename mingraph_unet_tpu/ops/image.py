@@ -214,8 +214,12 @@ def random_rotation(
     lowering is ~20× off the roofline). Exact identity at θ=0; resampling
     values differ from direct bilinear only by the standard three-pass
     interpolation (each pass is 1-D linear).
+
+    Sign convention: a positive sampled angle rotates the content the same
+    direction as a direct bilinear warp at +θ (the three-shear factorization
+    realizes R(−θ), so the sampled angle is negated before the shears).
     """
-    angle = jax.random.uniform(key, (), minval=-degrees, maxval=degrees) * jnp.pi / 180.0
+    angle = -jax.random.uniform(key, (), minval=-degrees, maxval=degrees) * jnp.pi / 180.0
     h, w = img.shape[:2]
     cy, cx = (h - 1) / 2.0, (w - 1) / 2.0
     alpha = jnp.tan(angle / 2.0)

@@ -237,9 +237,11 @@ def windowed_down_kernel(kernel: jnp.ndarray, r: int = _R) -> jnp.ndarray:
     Why: this executes 16/9 ≈ 1.78× the useful FLOPs at full MXU lane
     occupancy (Cout→4·Cout lanes), vs the dense s2d form's 4× inflation —
     measured ~1.9× faster for Cin=64→Cout=32 at 512² b8 on v5e (91 vs 49
-    useful TFLOP/s; perf_lab ``wconv``). Wins when Cin is large enough that
-    the inflation dominates (production cutover at Cin ≥ 48); for tiny Cin
-    (3, 32) the dense s2d form stays ahead.
+    useful TFLOP/s; perf_lab ``wconv``). Production dispatch is *layout*-
+    driven, not Cin-driven (see the rule atop models/unet.py): a full-res
+    NHWC input always takes this form — including Cin=3 — because the
+    space_to_depth relayout the dense form would need costs more than any
+    conv-time difference; an input already in s2d layout stays dense.
     """
     parts = []
     for pyo in range(r):

@@ -141,12 +141,17 @@ class TestMinGraphUNet:
         x = jnp.asarray(np.random.default_rng(1).random((2, 32, 32, 3)), jnp.float32)
         variables = model.init(jax.random.key(0), x)
         out = model.apply(variables, x, train=False)
+        # The fast path no longer materializes the full-res fused map at all
+        # (it has no consumer); identical param trees let the exact model
+        # produce it from the same weights.
+        assert "fused" not in out
+        fused = tiny_model(detection_pre_pool=None).apply(variables, x, train=False)["fused"]
         det = DetectionHead(num_classes=1, fc_hidden_dim=32, pre_pool_size=4)
         dv = {
             "params": variables["params"]["detection_head"],
             "batch_stats": variables["batch_stats"]["detection_head"],
         }
-        bb, conf = det.apply(dv, out["fused"], train=False)
+        bb, conf = det.apply(dv, fused, train=False)
         np.testing.assert_allclose(
             np.asarray(out["pred_bboxes"]), np.asarray(bb), atol=1e-6
         )
