@@ -98,7 +98,11 @@ class MangoDataset:
         image_size: Tuple[int, int] = (128, 128),
         num_classes: int = 2,
         strict: bool = True,
-        use_native: bool = False,
+        # C++ thread-pool PNG decode tier (native/decode.cc, exactness-tested
+        # vs cv2): on by default — _load_native falls back to the cv2 path
+        # per batch whenever ineligible (non-PNG files, instance annotations,
+        # library unavailable), so this is a pure fast path.
+        use_native: bool = True,
         native_threads: int = 4,
         annotations_file: Optional[str] = None,
         max_instances: int = 16,

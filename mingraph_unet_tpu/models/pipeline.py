@@ -181,8 +181,11 @@ class MinGraphUNet(nn.Module):
             0.0,
             1.0,
         ) * 255.0
-        sobel = filters.sobel_magnitude(rgb255, self.sobel_kernel_size)  # (B, H, W)
-        sobel_patch = patch_reduce_mean(sobel[..., None] / 255.0, self.patch_size)
+        # Flat-view lowering: full-lane gray/stencil/pooling — the (…, 3)
+        # layout runs at 3/128 lane occupancy (ops/filters.py docstring).
+        sobel_patch = filters.sobel_patch_mean(
+            rgb255, self.patch_size, self.sobel_kernel_size
+        )
         # Batched hist-eq: Pallas fused kernel on TPU, XLA one-hot elsewhere
         # (bit-exact either way; see ops/pallas/histeq.py).
         histeq = filters.equalize_histogram_rgb_batched(

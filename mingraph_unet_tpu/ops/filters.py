@@ -32,6 +32,7 @@ from mingraph_unet_tpu.ops.image import rgb_to_gray
 __all__ = [
     "sobel_kernels",
     "sobel_magnitude",
+    "sobel_patch_mean",
     "equalize_histogram_gray",
     "equalize_histogram_rgb",
     "equalize_histogram_rgb_batched",
@@ -135,6 +136,82 @@ def sobel_magnitude(rgb: jnp.ndarray, ksize: int = 3) -> jnp.ndarray:
     mx = jnp.max(mag, axis=(-2, -1), keepdims=True)
     out = (mag - mn) / jnp.maximum(mx - mn, 1e-12) * 255.0
     return out[0] if squeeze_batch else out
+
+
+def sobel_patch_mean(rgb: jnp.ndarray, patch_size: int, ksize: int = 3) -> jnp.ndarray:
+    """``patch_reduce_mean(sobel_magnitude(rgb)[..., None] / 255)`` computed
+    on the channel-flattened view — the production aux-feature path.
+
+    Why a separate lowering: (B, H, W, 3) tensors put C=3 on the 128-wide
+    lane dimension, so every elementwise op in the gray conversion runs at
+    3/128 lane occupancy (the dominant cost of ``sobel_magnitude`` on TPU).
+    Here the image is viewed as (B, H, W·3) — full lanes — where a column
+    shift by one pixel is a lane shift by 3; the gray weighted sum, the
+    3×3 stencil, the magnitude, the per-image min/max and the per-patch sums
+    all stay on full lanes, with non-gray lanes masked out of the
+    reductions. The normalize-then-pool is folded through the pooling
+    (affine maps commute with the mean), so nothing full-resolution is ever
+    materialized in the C=1 layout.
+
+    Exact same values as the reference chain (same float ops in the same
+    f32 precision; equality tested in ``tests/test_ops_structure.py``).
+    Only ksize=3 (the production setting) takes this path — larger kernels
+    fall back to the depthwise-conv form.
+    """
+    if ksize != 3:
+        mag = sobel_magnitude(rgb, ksize)
+        from mingraph_unet_tpu.ops.patches import patch_reduce_mean
+
+        return patch_reduce_mean(mag[..., None] / 255.0, patch_size)
+
+    b, h, w, c = rgb.shape
+    assert c == 3, rgb.shape
+    x = rgb.astype(jnp.float32)
+    # Column reflect-101 pad in pixel space, built in the 4D view (a flat
+    # 'reflect' pad would reverse the channel order of the border pixel).
+    x = jnp.concatenate([x[:, :, 1:2], x, x[:, :, w - 2 : w - 1]], axis=2)
+    flat = x.reshape(b, h, (w + 2) * 3)
+    # Row reflect-101 pad (rows are the sublane dim — cheap).
+    flat = jnp.concatenate([flat[:, 1:2], flat, flat[:, h - 2 : h - 1]], axis=1)
+
+    # Gray weighted sum at pixel-aligned lanes (lane k*3 holds gray of
+    # pixel k); other lanes hold shifted garbage, masked out below.
+    from mingraph_unet_tpu.ops.image import _GRAY_WEIGHTS
+
+    gw = jnp.asarray(_GRAY_WEIGHTS, jnp.float32)
+    g = (
+        gw[0] * flat
+        + gw[1] * jnp.concatenate([flat[..., 1:], flat[..., :1]], axis=-1)
+        + gw[2] * jnp.concatenate([flat[..., 2:], flat[..., :2]], axis=-1)
+    )  # (B, H+2, (W+2)*3)
+
+    # 3×3 Sobel stencil: row shifts are slices, column shifts are ±3 lanes.
+    def sh(dy, dx):
+        return g[:, 1 + dy : 1 + dy + h, 3 * (1 + dx) : 3 * (1 + dx + w)]
+
+    tl, t, tr = sh(-1, -1), sh(-1, 0), sh(-1, 1)
+    l, r = sh(0, -1), sh(0, 1)
+    bl, bo, br = sh(1, -1), sh(1, 0), sh(1, 1)
+    gx = (tr + 2.0 * r + br) - (tl + 2.0 * l + bl)
+    gy = (bl + 2.0 * bo + br) - (tl + 2.0 * t + tr)
+    mag = jnp.sqrt(gx * gx + gy * gy)  # (B, H, W*3); gray lanes ≡ 0 mod 3
+
+    lane_mask = (jnp.arange(w * 3) % 3 == 0)
+    big = jnp.float32(3e38)
+    mn = jnp.min(jnp.where(lane_mask, mag, big), axis=(-2, -1), keepdims=False)
+    mx = jnp.max(jnp.where(lane_mask, mag, -big), axis=(-2, -1), keepdims=False)
+
+    # Per-patch sums of the raw magnitude (masked), then the normalization
+    # folded through the mean:  mean((m-mn)/(mx-mn)*255)/255
+    #   = (mean(m) - mn) / (mx - mn).
+    p = patch_size
+    masked = jnp.where(lane_mask, mag, 0.0)
+    nph, npw = h // p, w // p
+    s = masked.reshape(b, nph, p, npw, p * 3).sum((2, 4))  # (B, nph, npw)
+    mean = s / (p * p)
+    denom = jnp.maximum(mx - mn, 1e-12)
+    out = (mean - mn[:, None, None]) / denom[:, None, None]
+    return out[..., None]  # (B, nph, npw, 1)
 
 
 # ---------------------------------------------------------------------------

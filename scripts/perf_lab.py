@@ -395,6 +395,58 @@ def exp_train():
     dt = time.perf_counter() - t0
     print(f"[lab] host->device 32MB: {dt * 1e3:.0f} ms ({32 / dt:.0f} MB/s)")
 
+    # --- Non-resident data: does the relay overlap transfer with compute?
+    # (VERDICT r2 #7: target wall/compute <= 1.3x at 128² b16.)
+    n_windows = 6
+    host_batches = [
+        (
+            rng.integers(0, 255, (W, 16, 128, 128, 3), np.uint8),
+            rng.integers(0, 2, (W, 16, 128, 128), np.uint8),
+        )
+        for _ in range(n_windows)
+    ]
+
+    def put(i):
+        im, mk = host_batches[i]
+        return jnp.asarray(im), jnp.asarray(mk)
+
+    def run_seq(state):
+        # Sequential: transfer i -> dispatch i -> fetch metrics i-1.
+        prev = None
+        for i in range(n_windows):
+            imgs, masks = put(i)
+            state, aux = jit_window_nodonate(state, imgs, masks, jax.random.key(i))
+            if prev is not None:
+                jax.device_get(prev)
+            prev = aux
+        jax.device_get(prev)
+        return state
+
+    def run_dbuf(state):
+        # Double-buffered: window i+1's transfer is issued right after
+        # dispatching window i, before blocking on i-1's metrics.
+        prev = None
+        cur = put(0)
+        for i in range(n_windows):
+            state, aux = jit_window_nodonate(state, *cur, jax.random.key(i))
+            if i + 1 < n_windows:
+                cur = put(i + 1)
+            if prev is not None:
+                jax.device_get(prev)
+            prev = aux
+        jax.device_get(prev)
+        return state
+
+    for name, fn in (("sequential", run_seq), ("double-buffered", run_dbuf)):
+        state = fn(state)  # warm
+        t0 = time.perf_counter()
+        state = fn(state)
+        t_io = (time.perf_counter() - t0) / (n_windows * W)
+        print(
+            f"[lab] e2e train non-resident {name:<16} {t_io * 1e3:8.1f} ms/step "
+            f"({t_io / t_res:.2f}x of compute floor)"
+        )
+
 
 def exp_convs():
     """Microbench the U-Net's conv shapes: achieved TFLOP/s per level."""

@@ -109,6 +109,26 @@ class TestSobel:
         out = filters.sobel_magnitude(jnp.asarray(imgs))
         assert out.shape == (3, 16, 16)
 
+    def test_patch_mean_flat_lowering_matches_reference_chain(self):
+        """sobel_patch_mean (full-lane flat-view production path) equals
+        patch_reduce_mean(sobel_magnitude(...)/255) to fp32 rounding."""
+        from mingraph_unet_tpu.ops.patches import patch_reduce_mean
+
+        imgs = jnp.asarray(rng(7).uniform(0, 255, (2, 64, 96, 3)), jnp.float32)
+        ref = patch_reduce_mean(filters.sobel_magnitude(imgs)[..., None] / 255.0, 16)
+        new = filters.sobel_patch_mean(imgs, 16)
+        np.testing.assert_allclose(np.asarray(new), np.asarray(ref), atol=2e-6)
+
+    def test_patch_mean_flat_nondivisible_ksize_falls_back(self):
+        from mingraph_unet_tpu.ops.patches import patch_reduce_mean
+
+        imgs = jnp.asarray(rng(8).uniform(0, 255, (1, 32, 32, 3)), jnp.float32)
+        ref = patch_reduce_mean(
+            filters.sobel_magnitude(imgs, ksize=5)[..., None] / 255.0, 8
+        )
+        new = filters.sobel_patch_mean(imgs, 8, ksize=5)
+        np.testing.assert_allclose(np.asarray(new), np.asarray(ref), atol=2e-6)
+
 
 class TestHistEq:
     def test_gray_matches_cv2(self):
