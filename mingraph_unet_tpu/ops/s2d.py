@@ -188,12 +188,17 @@ def patch_reduce_mean_s2d(x_s2d: jnp.ndarray, patch: int, r: int = _R) -> jnp.nd
     p = patch // r
     b, hh, ww, cc = x_s2d.shape
     c = cc // (r * r)
-    # Sequential middle-axis reductions (phases → W patches → H patches),
-    # fp32 accumulation: the one-shot 7-D reshape-mean makes XLA materialize
-    # a strided transpose ~6× off the HBM roofline (see patch_reduce_mean).
-    # Phases first also cuts the traffic of the spatial stages r²×.
-    x = x_s2d.astype(jnp.float32)
-    x = x.reshape(b, hh, ww, r * r, c).sum(3)
+    # Phase sum FIRST and in the INPUT dtype: casting the whole tensor to
+    # f32 up front made XLA materialize an f32 copy in a transposed
+    # {2,3,1,0} layout per call site (~0.5 ms each at (8,256²,128) on v5e,
+    # device trace r3) and back-pressured the producing conv's output
+    # layout (+1.3 ms on dec block3 conv2). Summing the r²=4 phases in
+    # bf16 fuses into the producer; the f32 upcast then happens on the
+    # r²×-smaller tensor, and the long (p-term) W/H accumulations stay
+    # f32. Pipeline A/B at 512² b8: 14.66 → 14.04 ms/step. (A 0/1
+    # selector-matrix MXU contraction was also tried: it consumes the
+    # conv's layout but burns p·r²·C² real MACs — 15.0 ms, rejected.)
+    x = x_s2d.reshape(b, hh, ww, r * r, c).sum(3).astype(jnp.float32)
     x = x.reshape(b, hh, ww // p, p, c).sum(3)
     x = x.reshape(b, hh // p, p, ww // p, c).sum(2)
     return (x / (patch * patch)).astype(x_s2d.dtype)
