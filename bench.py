@@ -258,6 +258,11 @@ def main():
         "value": round(r["ips"], 3),
         "unit": "images/s",
         "mfu_pct": round(r["mfu_pct"], 1) if r["mfu_pct"] else None,
+        "mfu_note": "MFU counts EXECUTED flops (XLA cost analysis + Pallas "
+        "cost estimates). r3's phase-select kernel replaced 4x-inflated "
+        "dense-s2d convs with 16/9x-inflated matmuls, so executed flops "
+        "fell ~24% while images/s rose — MFU is not comparable across "
+        "rounds; images/s is.",
         "tflops": round(r["tflops"], 1) if r["tflops"] else None,
         "ms_per_step": round(r["ms_per_step"], 2),
         "stage_ms": r["stage_ms"],

@@ -46,10 +46,13 @@ Dtype = Any
 # - input full-res NHWC → windowed conv (full MXU lanes at 16/9× FLOPs,
 #   s2d output directly, no relayout): 0.58 ms vs 1.50 for s2d+dense at
 #   3→32; 0.77 vs ~1.8 at 32→32.
-# - input already s2d → dense s2d conv (4× FLOPs but zero relayout): the
-#   windowed form's d2s costs more than its MXU win (measured 4.3 vs
-#   5.1 ms/block at dec level 0). A layout-fused Pallas kernel was tried
-#   (ops/pallas/wconv.py) and measured slower — see its docstring.
+# - input already s2d → the phase-select Pallas kernel when eligible
+#   (ops/pallas/psconv.py: 16/9× FLOPs at full lanes, layout-native via a
+#   transpose bitcast — production since r3, ~0.5 vs 0.8–2.1 ms/conv),
+#   else dense s2d conv (4× FLOPs but zero relayout). The windowed form's
+#   d2s costs more than its MXU win (measured 4.3 vs 5.1 ms/block at dec
+#   level 0); the patch-matrix Pallas kernel (ops/pallas/wconv.py) lost on
+#   assembly copies — see its docstring.
 
 
 class _ConvParams(nn.Module):
@@ -144,6 +147,24 @@ class ConvBlock(nn.Module):
     # concatenated s2d input into one slow relayout kernel (~3.8 ms at 512²
     # b8 on v5e vs ~0.2 ms per plain d2s — see perf_lab ``wconv``).
     s2d_in_full_res: bool = False
+    # Run eligible s2d→s2d convs through the phase-select Pallas kernel
+    # (ops/pallas/psconv.py: 16/9× FLOPs instead of the dense form's 4×).
+    # None = auto (TPU backend, inference only); tests force True/False.
+    use_psconv: Optional[bool] = None
+
+    def _psconv_on(self) -> bool:
+        if self.use_psconv is not None:
+            return self.use_psconv
+        import os
+        sites = os.environ.get("MG_PSCONV_SITES", "auto")
+        if sites == "none" or jax.default_backend() != "tpu":
+            return False
+        if sites in ("auto", "all"):
+            return True
+        path = "/".join(self.scope.path) if self.scope is not None else ""
+        return ("decoder" in path and sites in ("dec",)) or (
+            "encoder" in path and sites in ("enc",)
+        )
 
     def _conv(self, x, kernel, bias):
         y = jax.lax.conv_general_dilated(
@@ -201,6 +222,7 @@ class ConvBlock(nn.Module):
                 a, c = bn.eval_affine()
                 kernel = kernel * a
                 bias = bias * a + c
+            fused_epilogue = False
             if fused_up is not None and i == 0:
                 # Fused upsample+conv1 (decoder): conv1(concat[skip, up]) with
                 # up = x_prev·Wt splits by linearity into
@@ -220,14 +242,34 @@ class ConvBlock(nn.Module):
                 k2a = k2[:, :, : 4 * skip_c, :]
                 k2b = k2[:, :, 4 * skip_c :, :]
                 k2b_x = jnp.einsum("cq,yxqo->yxco", wt.astype(k2b.dtype), k2b)
-                bmap = jnp.broadcast_to(
-                    s2d_ops.s2d_vector(bias_up).astype(self.dtype),
-                    (1, hh, ww, 4 * (cin - skip_c)),
+                if (
+                    not train
+                    and self._psconv_on()
+                    and 4 * skip_c == 128
+                    and 4 * self.features == 128
+                ):
+                    # Skip term through the phase-select Pallas kernel
+                    # (no epilogue: the three terms sum before bias/ReLU).
+                    from mingraph_unet_tpu.ops.pallas import psconv as psconv_ops
+
+                    term_skip = psconv_ops.conv3x3_s2d_psel(
+                        x.astype(self.dtype),
+                        psconv_ops.psconv_weights(kernel[:, :, :skip_c, :]),
+                        jnp.zeros((4 * self.features,), jnp.float32),
+                        relu=False,
+                    )
+                else:
+                    term_skip = s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2a)
+                # The constant upsample-bias field is computed analytically
+                # (ops/s2d.py::conv3x3_s2d_const): as a conv it stopped
+                # fusing once conv2 moved to psconv and cost ~0.6 ms/step.
+                bias_field = s2d_ops.conv3x3_s2d_const(
+                    s2d_ops.s2d_vector(bias_up), k2b, hh, ww
                 )
                 x = (
-                    s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2a)
+                    term_skip
                     + s2d_ops.conv3x3_s2d(x_prev.astype(self.dtype), k2b_x)
-                    + s2d_ops.conv3x3_s2d(bmap, k2b)
+                    + bias_field[None].astype(self.dtype)
                 )
             elif full_res_in:
                 # Full-res input → windowed lowering, always: it emits the
@@ -236,17 +278,38 @@ class ConvBlock(nn.Module):
                 # difference (see the layout rule at the top of this file).
                 kw = s2d_ops.windowed_down_kernel(kernel)
                 x = s2d_ops.conv3x3_windowed_down(x.astype(self.dtype), kw)
+            elif (
+                not train
+                and self._psconv_on()
+                and len(groups) == 1
+                and 4 * cin == 128
+                and 4 * self.features == 128
+            ):
+                # Phase-select Pallas kernel: 4 dense lane-select matmuls
+                # (16/9× useful FLOPs) with bias+ReLU fused in the epilogue.
+                # Inference-only (no VJP; train keeps the XLA path).
+                from mingraph_unet_tpu.ops.pallas import psconv as psconv_ops
+
+                km = psconv_ops.psconv_weights(kernel)
+                x = psconv_ops.conv3x3_s2d_psel(
+                    x.astype(self.dtype),
+                    km,
+                    s2d_ops.s2d_vector(bias).astype(jnp.float32),
+                    relu=True,
+                )
+                fused_epilogue = True
             else:
                 k2 = s2d_ops.s2d_conv3x3_kernel(kernel, groups)
                 x = s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2)
-            x = x + s2d_ops.s2d_vector(bias).astype(x.dtype)
-            if bn is not None and train:
-                # Per-full-res-channel statistics: fold the 4 phase groups
-                # into the reduction axes so stats/params match the standard
-                # path exactly (shape (C,)).
-                x5 = bn(x.reshape(b, hh, ww, 4, self.features), train=True)
-                x = x5.reshape(b, hh, ww, 4 * self.features)
-            x = nn.relu(x)
+            if not fused_epilogue:
+                x = x + s2d_ops.s2d_vector(bias).astype(x.dtype)
+                if bn is not None and train:
+                    # Per-full-res-channel statistics: fold the 4 phase
+                    # groups into the reduction axes so stats/params match
+                    # the standard path exactly (shape (C,)).
+                    x5 = bn(x.reshape(b, hh, ww, 4, self.features), train=True)
+                    x = x5.reshape(b, hh, ww, 4 * self.features)
+                x = nn.relu(x)
             cin = self.features
         return x
 

@@ -1,0 +1,236 @@
+"""Phase-select s2d conv: 3×3 'SAME' conv in space-to-depth layout as four
+dense MXU matmuls with lane-select operands (+ fused bias/ReLU epilogue).
+
+The workload (reference ``model/unet/unet_encoder.py:15-25`` ConvBlock convs
+at the U-Net's full-resolution level): a 3×3 stride-1 conv on a C-channel
+image held in 2×2 space-to-depth layout, ``x_s2d (B, H/2, W/2, 4C)``
+phase-major. The production XLA lowering (ops/s2d.py::conv3x3_s2d) is a
+dense (3, 3, 4C, 4C) conv whose kernel is 75% structured zeros — 4× the
+useful FLOPs (measured 145 TF/s raw ⇒ ~36 TF/s useful on v5e). The
+previous Pallas attempt (wconv.py) used the windowed patch-matrix form
+(16/9× FLOPs) but lost to XLA on the 16 lane-offset scratch copies that
+assembled the patch matrix.
+
+This kernel gets the windowed form's 16/9× arithmetic with ZERO assembly
+copies. Group the 36 useful (tap × output-phase) pairs of the s2d conv by
+s2d displacement (u, v) of the input read:
+
+- (0,0): every (input-phase q, output-phase p) pair is a real tap
+  (dy = qy−py, dx = qx−px ∈ {−1,0,1}) → one fully dense [4C, 4C] matmul
+  on the UNSHIFTED tile.
+- rows (u = ±1, v = 0): u=−1 valid only for (qy=1, py=0), u=+1 only for
+  (qy=0, py=1). The q-lanes needed from each source are disjoint halves of
+  the lane axis — so ONE operand ``R = where(lane < 2C, x_down, x_up)``
+  (each value stays in its own lane; a VPU select, not a shuffle) feeds a
+  second [4C, 4C] matmul whose kernel is block-structured.
+- cols (v = ±1): same with qx lane-blocks interleaved → operand
+  ``where(qx_lane, x_left, x_right)``.
+- diagonals: the four corner taps each need one q-block → one 4-way
+  lane-select of the four diagonally-shifted tiles, one matmul.
+
+Total: 4 dense [T, 4C] @ [4C, 4C] matmuls = 64C² MACs per s2d pixel vs
+36C² useful (16/9, the windowed optimum) at full MXU lane occupancy, and
+the only non-matmul work is 2 sublane rolls + boundary masks + 3 selects.
+
+Blocks use XLA's DEFAULT layout for (B, Hh, Ww, 4C) (W = sublanes,
+4C = lanes): grid (B, Hh/Ht), row halos via two clamped one-row refs
+(zeroed at the image boundary in-kernel), col halos via ``pltpu.roll``
+along the sublane axis with first/last-column masks.
+
+Measured on v5e (512² b8, C=32, device traces r3): in-pipeline the kernel
+runs ~0.51 ms/call vs the XLA dense-s2d fusions it replaced (2.13 ms dec
+block3 conv2, 1.10 ms dec conv1 skip term, 0.82 ms enc block0 conv2); the
+full pipeline went 14.04 → 13.00 ms/step with all three sites enabled
+(together with the analytic bias-field that the de-fusion exposed,
+ops/s2d.py::conv3x3_s2d_const). Earlier failure modes, kept for the
+record: feeding the 4D tensor directly cost ~1 ms/step in {3,0,2,1}→
+{3,2,1,0} relayout fusions (fixed by the transpose-bitcast below), and a
+scan-carried operand gets a defensive XLA copy that inflates standalone
+microbenchmarks to ~0.92 ms/call — trace the pipeline, not the microbench.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+__all__ = ["psconv_weights", "conv3x3_s2d_psel"]
+
+
+def psconv_weights(kernel: jnp.ndarray) -> jnp.ndarray:
+    """(3, 3, Cin, Cout) full-res 'SAME' kernel → stacked (4, 4Cin, 4Cout)
+    matmul matrices (Kc, Kr, Kv, Kd) for the four phase-select operands.
+
+    Lane conventions match ops/s2d.py (phase-major: lane = (2qy+qx)·C + c).
+    Entry rule: output phase p=(py,px) taking full-res tap (dy,dx) reads
+    input phase q at s2d displacement (u,v) with dy = 2u+qy−py,
+    dx = 2v+qx−px; each (u,v) group below enumerates its valid (q,p) pairs.
+    """
+    cin, cout = kernel.shape[2], kernel.shape[3]
+    k = kernel
+    zin, zout = 4 * cin, 4 * cout
+    kc = jnp.zeros((zin, zout), k.dtype)
+    kr = jnp.zeros((zin, zout), k.dtype)
+    kv = jnp.zeros((zin, zout), k.dtype)
+    kd = jnp.zeros((zin, zout), k.dtype)
+
+    def put(m, qy, qx, py, px, tap_y, tap_x):
+        qi = (2 * qy + qx) * cin
+        pi = (2 * py + px) * cout
+        return m.at[qi : qi + cin, pi : pi + cout].set(k[tap_y, tap_x])
+
+    for qy in range(2):
+        for qx in range(2):
+            for py in range(2):
+                for px in range(2):
+                    # center (u=v=0): dy=qy−py, dx=qx−px — always a tap.
+                    kc = put(kc, qy, qx, py, px, 1 + qy - py, 1 + qx - px)
+    for qx in range(2):
+        for px in range(2):
+            # u=−1 (operand rows ← x_up): qy=1, py=0, dy=−1.
+            kr = put(kr, 1, qx, 0, px, 0, 1 + qx - px)
+            # u=+1 (← x_down): qy=0, py=1, dy=+1.
+            kr = put(kr, 0, qx, 1, px, 2, 1 + qx - px)
+    for qy in range(2):
+        for py in range(2):
+            # v=−1 (← x_left): qx=1, px=0, dx=−1.
+            kv = put(kv, qy, 1, py, 0, 1 + qy - py, 0)
+            # v=+1 (← x_right): qx=0, px=1, dx=+1.
+            kv = put(kv, qy, 0, py, 1, 1 + qy - py, 2)
+    # diagonals: one (q,p) pair each.
+    kd = put(kd, 1, 1, 0, 0, 0, 0)  # (u,v)=(−1,−1) ← x_left_up
+    kd = put(kd, 0, 1, 1, 0, 2, 0)  # (+1,−1) ← x_left_down
+    kd = put(kd, 1, 0, 0, 1, 0, 2)  # (−1,+1) ← x_right_up
+    kd = put(kd, 0, 0, 1, 1, 2, 2)  # (+1,+1) ← x_right_down
+    return jnp.stack([kc, kr, kv, kd])
+
+
+def _kernel(x_ref, top_ref, bot_ref, k_ref, b_ref, o_ref, *, cq: int, sb: int, relu: bool):
+    i = pl.program_id(0)
+    band = x_ref[...]  # (Ht, Ww·B, 4C) — H-major view of the conv layout
+    ht, wb, zc = band.shape
+    # Row halos; zero at the image boundary (SAME padding).
+    top = jnp.where(i == 0, jnp.zeros_like(top_ref[...]), top_ref[...])
+    bot = jnp.where(
+        i == pl.num_programs(0) - 1, jnp.zeros_like(bot_ref[...]), bot_ref[...]
+    )
+    xf = jnp.concatenate([top, band, bot], axis=0)  # (Ht+2, Ww·B, 4C)
+    zcol = jnp.zeros((ht + 2, sb, zc), xf.dtype)
+    # One image column = sb merged positions (the batch dim is innermost).
+    # xl[y, x] = xf[y, x−1] (zero col 0); xr[y, x] = xf[y, x+1].
+    # (slice+concat, not pltpu.roll: Mosaic has no bf16 sublane rotate.)
+    xl = jnp.concatenate([zcol, xf[:, : wb - sb]], axis=1)
+    xr = jnp.concatenate([xf[:, sb:], zcol], axis=1)
+    xc, xu, xd = xf[1:-1], xf[:-2], xf[2:]
+    lane = jax.lax.broadcasted_iota(jnp.int32, xc.shape, 2)
+    # R: lanes qy=0 (< 2C) read the row below, qy=1 the row above.
+    r_op = jnp.where(lane < 2 * cq, xd, xu)
+    # C: lanes qx=1 read the left shift, qx=0 the right shift.
+    c_op = jnp.where((lane // cq) % 2 == 1, xl[1:-1], xr[1:-1])
+    # D: per-phase diagonal source — q=(0,0)←rd, (0,1)←ld, (1,0)←ru, (1,1)←lu.
+    d_op = jnp.where(
+        lane < 2 * cq,
+        jnp.where(lane < cq, xr[2:], xl[2:]),
+        jnp.where(lane < 3 * cq, xr[:-2], xl[:-2]),
+    )
+    t = ht * wb
+
+    def mm(a, kmat):
+        return jnp.dot(
+            a.reshape(t, zc), kmat, preferred_element_type=jnp.float32
+        )
+
+    acc = mm(xc, k_ref[0]) + mm(r_op, k_ref[1]) + mm(c_op, k_ref[2]) + mm(d_op, k_ref[3])
+    acc = acc + b_ref[0].astype(jnp.float32)
+    if relu:
+        acc = jnp.maximum(acc, 0.0)
+    o_ref[...] = acc.reshape(ht, wb, -1).astype(o_ref.dtype)
+
+
+def _pick_ht(hh: int, wb: int, zc: int) -> int:
+    # Budget the band block so the ~8 live block-sized temporaries (xf, xl,
+    # xr, 4 matmul operands, f32 acc) stay within scoped VMEM. Larger bands
+    # amortize the two halo-row re-reads (at ht=2 they double input DMA —
+    # measured 625 → 500 µs/call going to ht=4 at (256, 2048, 128)).
+    for ht in (8, 4, 2, 1):
+        if hh % ht == 0 and ht * wb * zc * 2 <= (2 << 20):
+            return ht
+    return 1
+
+
+@partial(jax.jit, static_argnames=("relu", "interpret"))
+def conv3x3_s2d_psel(
+    x_s2d: jnp.ndarray,
+    kmats: jnp.ndarray,
+    bias_s2d: jnp.ndarray,
+    relu: bool = True,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """3×3 'SAME' conv (+bias, +ReLU) on a 2×2 s2d-layout tensor.
+
+    x_s2d: (B, Hh, Ww, 4·Cin) phase-major; kmats: ``psconv_weights`` output
+    (4, 4Cin, 4Cout); bias_s2d: (4·Cout,) phase-major (s2d_vector). Exactly
+    equals relu(conv3x3_s2d(x, s2d_conv3x3_kernel(k)) + bias) up to fp32
+    accumulation order (tests/test_pallas_kernels.py).
+
+    Layout: XLA's TPU convs keep activations in a {3,0,2,1} (H, W, B, C
+    major→minor) layout; a Pallas operand is pinned to the default
+    {3,2,1,0}. Feeding the 4D tensor directly therefore inserted a ~0.5 ms
+    relayout fusion per call site (device trace r3). The transpose to
+    (Hh, Ww, B, 4C) + merge to (Hh, Ww·B, 4C) below is a BITCAST of the
+    conv's native layout, so the kernel consumes and produces the layout
+    the surrounding convs already use — zero relayout at the boundary.
+    Col shifts inside the kernel step by B merged positions.
+    """
+    b, hh, ww, zin = x_s2d.shape
+    zout = kmats.shape[-1]
+    cq = zin // 4
+    xt = jnp.transpose(x_s2d, (1, 2, 0, 3)).reshape(hh, ww * b, zin)
+    wb = ww * b
+    ht = _pick_ht(hh, wb, zin)
+    grid = (hh // ht,)
+    bias2d = bias_s2d.reshape(1, zout)
+    yt = pl.pallas_call(
+        partial(_kernel, cq=cq, sb=b, relu=relu),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(
+                (ht, wb, zin), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(
+                (1, wb, zin),
+                lambda ii, _ht=ht: (jnp.maximum(ii * _ht - 1, 0), 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (1, wb, zin),
+                lambda ii, _ht=ht, _hh=hh: (
+                    jnp.minimum(ii * _ht + _ht, _hh - 1),
+                    0,
+                    0,
+                ),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (ht, wb, zout), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((hh, wb, zout), x_s2d.dtype),
+        # Declared cost keeps the op visible to XLA's scheduler AND to
+        # cost_analysis() (custom-calls otherwise report 0 FLOPs, which
+        # silently deflates bench.py's MFU accounting).
+        cost_estimate=pl.CostEstimate(
+            flops=4 * 2 * hh * wb * zin * zout,
+            bytes_accessed=(hh + 2 * grid[0]) * wb * zin * 2 + hh * wb * zout * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(xt, xt, xt, kmats.astype(x_s2d.dtype), bias2d)
+    return jnp.transpose(yt.reshape(hh, ww, b, zout), (2, 0, 1, 3))

@@ -22,8 +22,11 @@ but NOT production — measured 1.64 ms vs the dense-s2d XLA form's 0.82 ms
 for 32→32 at 512² b8 on v5e: the 16 scratch-store relayout copies that
 assemble the patch matrix (required because Mosaic cannot relayout a
 multi-way concatenate of shifted slices) cost more VMEM bandwidth than the
-windowed matmul saves in MXU time. The dense-s2d lowering (ops/s2d.py)
-remains the production path for s2d-layout convs.
+windowed matmul saves in MXU time. Superseded in r3 by the phase-select
+kernel (psconv.py), which reaches the same 16/9× arithmetic with zero
+assembly copies (lane-SELECTS of shifted views instead of lane-offset
+stores) and is the production path for eligible s2d-layout convs; the
+dense-s2d XLA lowering (ops/s2d.py) covers the rest.
 """
 
 from __future__ import annotations

@@ -195,9 +195,12 @@ def patch_reduce_mean_s2d(x_s2d: jnp.ndarray, patch: int, r: int = _R) -> jnp.nd
     # layout (+1.3 ms on dec block3 conv2). Summing the r²=4 phases in
     # bf16 fuses into the producer; the f32 upcast then happens on the
     # r²×-smaller tensor, and the long (p-term) W/H accumulations stay
-    # f32. Pipeline A/B at 512² b8: 14.66 → 14.04 ms/step. (A 0/1
-    # selector-matrix MXU contraction was also tried: it consumes the
-    # conv's layout but burns p·r²·C² real MACs — 15.0 ms, rejected.)
+    # f32. Pipeline A/B at 512² b8: 14.66 → 14.04 ms/step. (Two rejected
+    # alternatives: a 0/1 selector-matrix MXU contraction — consumes the
+    # conv's layout but burns p·r²·C² real MACs, 15.0 ms; lane-aligned
+    # channel-slice adds via x[..., i·c:(i+1)·c] — avoids the reshape-axis
+    # relayout but the 32-lane-offset extracts cost more than the copy,
+    # 16.1 ms.)
     x = x_s2d.reshape(b, hh, ww, r * r, c).sum(3).astype(jnp.float32)
     x = x.reshape(b, hh, ww // p, p, c).sum(3)
     x = x.reshape(b, hh // p, p, ww // p, c).sum(2)
@@ -213,6 +216,33 @@ def conv3x3_s2d(x_s2d: jnp.ndarray, kernel_s2d: jnp.ndarray) -> jnp.ndarray:
         padding="SAME",
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
     )
+
+
+def conv3x3_s2d_const(
+    v: jnp.ndarray, kernel_s2d: jnp.ndarray, hh: int, ww: int
+) -> jnp.ndarray:
+    """``conv3x3_s2d`` of a spatially CONSTANT map, computed analytically.
+
+    Equals ``conv3x3_s2d(broadcast_to(v, (1, hh, ww, Cin)), K)[0]`` exactly:
+    the result is the full tap sum in the interior, attenuated at borders by
+    'SAME' zero padding — i.e. ``out[y, x] = Σ_{dy∈valid(y), dx∈valid(x)}
+    T[dy, dx]`` with ``T[dy, dx, o] = Σ_ci K[dy, dx, ci, o]·v[ci]``, and the
+    validity pattern is separable in y/x. Why: the decoder's upsample-bias
+    field (models/unet.py fused_up) used the conv form; as soon as its
+    fusion partner moved to the psconv Pallas kernel, XLA materialized it
+    as a standalone batch-1 conv costing ~0.6 ms/step at (256², 128ch)
+    (device trace r3). This form is a (3,3,C) einsum + rank-1 outer masks.
+    """
+    t = jnp.einsum("yxio,i->yxo", kernel_s2d.astype(jnp.float32), v.astype(jnp.float32))
+    iy = jnp.arange(hh)
+    ix = jnp.arange(ww)
+    ry = jnp.stack(
+        [(iy >= 1), jnp.ones_like(iy, bool), (iy < hh - 1)], axis=1
+    ).astype(jnp.float32)
+    cx = jnp.stack(
+        [(ix >= 1), jnp.ones_like(ix, bool), (ix < ww - 1)], axis=1
+    ).astype(jnp.float32)
+    return jnp.einsum("yd,xe,deo->yxo", ry, cx, t)
 
 
 def depth_to_space_grouped(

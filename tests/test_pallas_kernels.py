@@ -150,3 +150,72 @@ class TestWindowedConv:
         np.testing.assert_allclose(
             np.asarray(s2d.depth_to_space(out)), np.asarray(ref), atol=1e-5
         )
+
+
+class TestPhaseSelectConv:
+    """Exactness of the phase-select s2d conv kernel (ops/pallas/psconv.py)
+    vs the XLA dense-s2d lowering — the production inference path for the
+    U-Net's full-resolution s2d→s2d convs on TPU."""
+
+    @pytest.mark.parametrize(
+        "shape",
+        [(2, 16, 16, 32, 32), (1, 32, 16, 8, 16), (3, 8, 24, 4, 4), (2, 14, 10, 32, 32)],
+    )
+    def test_matches_dense_s2d(self, shape):
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas.psconv import (
+            conv3x3_s2d_psel,
+            psconv_weights,
+        )
+
+        b, h, w, cin, cout = shape
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.2, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        xs = s2d.space_to_depth(x)
+        k2 = s2d.s2d_conv3x3_kernel(k, (cin,))
+        with jax.default_matmul_precision("highest"):
+            ref = jax.nn.relu(s2d.conv3x3_s2d(xs, k2) + s2d.s2d_vector(bias))
+            got = conv3x3_s2d_psel(
+                xs, psconv_weights(k), s2d.s2d_vector(bias), relu=True, interpret=True
+            )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+    def test_no_epilogue_matches(self):
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas.psconv import (
+            conv3x3_s2d_psel,
+            psconv_weights,
+        )
+
+        rng = np.random.default_rng(1)
+        x = jnp.asarray(rng.standard_normal((2, 12, 12, 16)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, 16, 16)) * 0.2, jnp.float32)
+        xs = s2d.space_to_depth(x)
+        k2 = s2d.s2d_conv3x3_kernel(k, (16,))
+        with jax.default_matmul_precision("highest"):
+            ref = s2d.conv3x3_s2d(xs, k2)  # raw conv, no bias/ReLU
+            got = conv3x3_s2d_psel(
+                xs, psconv_weights(k), jnp.zeros((64,), jnp.float32),
+                relu=False, interpret=True,
+            )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+class TestConstMapConv:
+    """conv3x3_s2d_const (analytic border-attenuated constant-map conv) vs
+    the literal conv it replaces (models/unet.py decoder bias field)."""
+
+    def test_matches_conv(self):
+        from mingraph_unet_tpu.ops import s2d
+
+        rng = np.random.default_rng(2)
+        hh, ww, cin, cout = 9, 7, 8, 12
+        k2 = jnp.asarray(rng.standard_normal((3, 3, cin, cout)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal(cin), jnp.float32)
+        bmap = jnp.broadcast_to(v, (1, hh, ww, cin))
+        with jax.default_matmul_precision("highest"):
+            ref = s2d.conv3x3_s2d(bmap, k2)[0]
+            got = s2d.conv3x3_s2d_const(v, k2, hh, ww)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
