@@ -248,8 +248,13 @@ class ConvBlock(nn.Module):
                     and 4 * skip_c == 128
                     and 4 * self.features == 128
                 ):
-                    # Skip term through the phase-select Pallas kernel
-                    # (no epilogue: the three terms sum before bias/ReLU).
+                    # Skip term through the phase-select Pallas kernel (no
+                    # epilogue: the three terms sum before bias/ReLU). A
+                    # single grouped 256-lane psel over [skip ‖ up] was also
+                    # tried (r3): exact, but the up-matmul materialization
+                    # plus 2× kernel input traffic lost ~1.4 ms vs this
+                    # split — the XLA conv on the un-upsampled x_prev term
+                    # moves 4× less data.
                     from mingraph_unet_tpu.ops.pallas import psconv as psconv_ops
 
                     term_skip = psconv_ops.conv3x3_s2d_psel(

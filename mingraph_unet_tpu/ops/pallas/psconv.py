@@ -19,29 +19,29 @@ s2d displacement (u, v) of the input read:
   (dy = qy−py, dx = qx−px ∈ {−1,0,1}) → one fully dense [4C, 4C] matmul
   on the UNSHIFTED tile.
 - rows (u = ±1, v = 0): u=−1 valid only for (qy=1, py=0), u=+1 only for
-  (qy=0, py=1). The q-lanes needed from each source are disjoint halves of
-  the lane axis — so ONE operand ``R = where(lane < 2C, x_down, x_up)``
+  (qy=0, py=1). The q-lanes needed from each source are disjoint subsets of
+  the lane axis — so ONE operand ``R = where(qy1_lane, x_up, x_down)``
   (each value stays in its own lane; a VPU select, not a shuffle) feeds a
   second [4C, 4C] matmul whose kernel is block-structured.
-- cols (v = ±1): same with qx lane-blocks interleaved → operand
-  ``where(qx_lane, x_left, x_right)``.
-- diagonals: the four corner taps each need one q-block → one 4-way
+- cols (v = ±1): same with the qx lane mask → ``where(qx1, x_left, x_right)``.
+- diagonals: the four corner taps each need one q-subset → one 4-way
   lane-select of the four diagonally-shifted tiles, one matmul.
 
 Total: 4 dense [T, 4C] @ [4C, 4C] matmuls = 64C² MACs per s2d pixel vs
 36C² useful (16/9, the windowed optimum) at full MXU lane occupancy, and
-the only non-matmul work is 2 sublane rolls + boundary masks + 3 selects.
-
-Blocks use XLA's DEFAULT layout for (B, Hh, Ww, 4C) (W = sublanes,
-4C = lanes): grid (B, Hh/Ht), row halos via two clamped one-row refs
-(zeroed at the image boundary in-kernel), col halos via ``pltpu.roll``
-along the sublane axis with first/last-column masks.
+the only non-matmul work is 2 sublane-shift concats + boundary masks +
+3 selects. The phase lane masks arrive as tiny i32 operands, which makes
+the kernel GROUP-AWARE: an input that is a channel-concat of separately
+s2d-transformed tensors (e.g. the decoder's [skip ‖ upsampled], 256 lanes)
+is one call — this is how the decoder's whole conv1 (including the
+contracted ConvTranspose term) runs as a single 256-lane psel instead of
+an XLA conv at half-K utilization.
 
 Measured on v5e (512² b8, C=32, device traces r3): in-pipeline the kernel
 runs ~0.51 ms/call vs the XLA dense-s2d fusions it replaced (2.13 ms dec
 block3 conv2, 1.10 ms dec conv1 skip term, 0.82 ms enc block0 conv2); the
-full pipeline went 14.04 → 13.00 ms/step with all three sites enabled
-(together with the analytic bias-field that the de-fusion exposed,
+full pipeline went 14.04 → 13.00 ms/step with the first three sites
+enabled (together with the analytic bias-field that the de-fusion exposed,
 ops/s2d.py::conv3x3_s2d_const). Earlier failure modes, kept for the
 record: feeding the 4D tensor directly cost ~1 ms/step in {3,0,2,1}→
 {3,2,1,0} relayout fusions (fixed by the transpose-bitcast below), and a
@@ -52,65 +52,94 @@ microbenchmarks to ~0.92 ms/call — trace the pipeline, not the microbench.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-__all__ = ["psconv_weights", "conv3x3_s2d_psel"]
+__all__ = ["psconv_weights", "psconv_lane_masks", "conv3x3_s2d_psel"]
 
 
-def psconv_weights(kernel: jnp.ndarray) -> jnp.ndarray:
+def _group_sizes(cin: int, groups: Sequence[int]) -> Tuple[int, ...]:
+    g = tuple(groups) if groups else (cin,)
+    assert sum(g) == cin, (groups, cin)
+    return g
+
+
+def psconv_weights(kernel: jnp.ndarray, groups: Sequence[int] = ()) -> jnp.ndarray:
     """(3, 3, Cin, Cout) full-res 'SAME' kernel → stacked (4, 4Cin, 4Cout)
     matmul matrices (Kc, Kr, Kv, Kd) for the four phase-select operands.
 
-    Lane conventions match ops/s2d.py (phase-major: lane = (2qy+qx)·C + c).
+    ``groups``: full-res channel widths when the s2d input is a channel
+    concat of separately s2d-transformed tensors (phase-major per group,
+    matching ops/s2d.py::s2d_conv3x3_kernel). Empty = single group.
+
     Entry rule: output phase p=(py,px) taking full-res tap (dy,dx) reads
     input phase q at s2d displacement (u,v) with dy = 2u+qy−py,
-    dx = 2v+qx−px; each (u,v) group below enumerates its valid (q,p) pairs.
+    dx = 2v+qx−px; each (u,v) operand enumerates its valid (q,p) pairs.
     """
     cin, cout = kernel.shape[2], kernel.shape[3]
-    k = kernel
-    zin, zout = 4 * cin, 4 * cout
-    kc = jnp.zeros((zin, zout), k.dtype)
-    kr = jnp.zeros((zin, zout), k.dtype)
-    kv = jnp.zeros((zin, zout), k.dtype)
-    kd = jnp.zeros((zin, zout), k.dtype)
+    gs = _group_sizes(cin, groups)
+    zout = 4 * cout
+    mats = []
+    off = 0
+    for gc in gs:
+        k = kernel[:, :, off : off + gc, :]
+        off += gc
+        zin_g = 4 * gc
+        kc = jnp.zeros((zin_g, zout), k.dtype)
+        kr = jnp.zeros((zin_g, zout), k.dtype)
+        kv = jnp.zeros((zin_g, zout), k.dtype)
+        kd = jnp.zeros((zin_g, zout), k.dtype)
 
-    def put(m, qy, qx, py, px, tap_y, tap_x):
-        qi = (2 * qy + qx) * cin
-        pi = (2 * py + px) * cout
-        return m.at[qi : qi + cin, pi : pi + cout].set(k[tap_y, tap_x])
+        def put(m, qy, qx, py, px, ty, tx, _k=k, _gc=gc):
+            qi = (2 * qy + qx) * _gc
+            pi = (2 * py + px) * cout
+            return m.at[qi : qi + _gc, pi : pi + cout].set(_k[ty, tx])
 
-    for qy in range(2):
+        for qy in range(2):
+            for qx in range(2):
+                for py in range(2):
+                    for px in range(2):
+                        # center (u=v=0): dy=qy−py, dx=qx−px — always a tap.
+                        kc = put(kc, qy, qx, py, px, 1 + qy - py, 1 + qx - px)
         for qx in range(2):
+            for px in range(2):
+                # u=−1 (← x_up): qy=1, py=0, dy=−1.
+                kr = put(kr, 1, qx, 0, px, 0, 1 + qx - px)
+                # u=+1 (← x_down): qy=0, py=1, dy=+1.
+                kr = put(kr, 0, qx, 1, px, 2, 1 + qx - px)
+        for qy in range(2):
             for py in range(2):
-                for px in range(2):
-                    # center (u=v=0): dy=qy−py, dx=qx−px — always a tap.
-                    kc = put(kc, qy, qx, py, px, 1 + qy - py, 1 + qx - px)
-    for qx in range(2):
-        for px in range(2):
-            # u=−1 (operand rows ← x_up): qy=1, py=0, dy=−1.
-            kr = put(kr, 1, qx, 0, px, 0, 1 + qx - px)
-            # u=+1 (← x_down): qy=0, py=1, dy=+1.
-            kr = put(kr, 0, qx, 1, px, 2, 1 + qx - px)
-    for qy in range(2):
-        for py in range(2):
-            # v=−1 (← x_left): qx=1, px=0, dx=−1.
-            kv = put(kv, qy, 1, py, 0, 1 + qy - py, 0)
-            # v=+1 (← x_right): qx=0, px=1, dx=+1.
-            kv = put(kv, qy, 0, py, 1, 1 + qy - py, 2)
-    # diagonals: one (q,p) pair each.
-    kd = put(kd, 1, 1, 0, 0, 0, 0)  # (u,v)=(−1,−1) ← x_left_up
-    kd = put(kd, 0, 1, 1, 0, 2, 0)  # (+1,−1) ← x_left_down
-    kd = put(kd, 1, 0, 0, 1, 0, 2)  # (−1,+1) ← x_right_up
-    kd = put(kd, 0, 0, 1, 1, 2, 2)  # (+1,+1) ← x_right_down
-    return jnp.stack([kc, kr, kv, kd])
+                # v=−1 (← x_left): qx=1, px=0, dx=−1.
+                kv = put(kv, qy, 1, py, 0, 1 + qy - py, 0)
+                # v=+1 (← x_right): qx=0, px=1, dx=+1.
+                kv = put(kv, qy, 0, py, 1, 1 + qy - py, 2)
+        # diagonals: one (q,p) pair each.
+        kd = put(kd, 1, 1, 0, 0, 0, 0)  # (u,v)=(−1,−1) ← x_left_up
+        kd = put(kd, 0, 1, 1, 0, 2, 0)  # (+1,−1) ← x_left_down
+        kd = put(kd, 1, 0, 0, 1, 0, 2)  # (−1,+1) ← x_right_up
+        kd = put(kd, 0, 0, 1, 1, 2, 2)  # (+1,+1) ← x_right_down
+        mats.append(jnp.stack([kc, kr, kv, kd]))
+    return jnp.concatenate(mats, axis=1) if len(mats) > 1 else mats[0]
 
 
-def _kernel(x_ref, top_ref, bot_ref, k_ref, b_ref, o_ref, *, cq: int, sb: int, relu: bool):
+def psconv_lane_masks(cin: int, groups: Sequence[int] = ()) -> jnp.ndarray:
+    """(2, 4·Cin) i32 lane masks [is_qy1, is_qx1] for the phase-major
+    (per-group) channel layout — the kernel's select predicates."""
+    qy = []
+    qx = []
+    for gc in _group_sizes(cin, groups):
+        for p in range(4):
+            qy.extend([p // 2] * gc)
+            qx.extend([p % 2] * gc)
+    return jnp.asarray(np.stack([qy, qx]), jnp.int32)
+
+
+def _kernel(x_ref, top_ref, bot_ref, k_ref, b_ref, m_ref, o_ref, *, sb: int, relu: bool):
     i = pl.program_id(0)
     band = x_ref[...]  # (Ht, Ww·B, 4C) — H-major view of the conv layout
     ht, wb, zc = band.shape
@@ -127,16 +156,17 @@ def _kernel(x_ref, top_ref, bot_ref, k_ref, b_ref, o_ref, *, cq: int, sb: int, r
     xl = jnp.concatenate([zcol, xf[:, : wb - sb]], axis=1)
     xr = jnp.concatenate([xf[:, sb:], zcol], axis=1)
     xc, xu, xd = xf[1:-1], xf[:-2], xf[2:]
-    lane = jax.lax.broadcasted_iota(jnp.int32, xc.shape, 2)
-    # R: lanes qy=0 (< 2C) read the row below, qy=1 the row above.
-    r_op = jnp.where(lane < 2 * cq, xd, xu)
+    qy1 = m_ref[0:1] != 0  # (1, 4C), broadcasts over (rows, wb, 4C)
+    qx1 = m_ref[1:2] != 0
+    # R: lanes qy=1 read the row above, qy=0 the row below.
+    r_op = jnp.where(qy1, xu, xd)
     # C: lanes qx=1 read the left shift, qx=0 the right shift.
-    c_op = jnp.where((lane // cq) % 2 == 1, xl[1:-1], xr[1:-1])
-    # D: per-phase diagonal source — q=(0,0)←rd, (0,1)←ld, (1,0)←ru, (1,1)←lu.
+    c_op = jnp.where(qx1, xl[1:-1], xr[1:-1])
+    # D: per-phase diagonal — (1,1)←lu, (1,0)←ru, (0,1)←ld, (0,0)←rd.
     d_op = jnp.where(
-        lane < 2 * cq,
-        jnp.where(lane < cq, xr[2:], xl[2:]),
-        jnp.where(lane < 3 * cq, xr[:-2], xl[:-2]),
+        qy1,
+        jnp.where(qx1, xl[:-2], xr[:-2]),
+        jnp.where(qx1, xl[2:], xr[2:]),
     )
     t = ht * wb
 
@@ -150,6 +180,12 @@ def _kernel(x_ref, top_ref, bot_ref, k_ref, b_ref, o_ref, *, cq: int, sb: int, r
     if relu:
         acc = jnp.maximum(acc, 0.0)
     o_ref[...] = acc.reshape(ht, wb, -1).astype(o_ref.dtype)
+    # (A fused phase-reduction epilogue — sum/max over the phase lane
+    # blocks via 32-bit lane rotates, emitted as extra outputs — was built
+    # and measured here in r3: exact, but +0.62 ms/call for sum+max at
+    # (256, 2048, 128) on v5e. The pure-XLA selector dot on the transposed
+    # view (ops/s2d.py::patch_reduce_mean_s2d) replaces the relayout-heavy
+    # consumers for free instead, so the epilogue was dropped.)
 
 
 def _pick_ht(hh: int, wb: int, zc: int) -> int:
@@ -158,7 +194,7 @@ def _pick_ht(hh: int, wb: int, zc: int) -> int:
     # amortize the two halo-row re-reads (at ht=2 they double input DMA —
     # measured 625 → 500 µs/call going to ht=4 at (256, 2048, 128)).
     for ht in (8, 4, 2, 1):
-        if hh % ht == 0 and ht * wb * zc * 2 <= (2 << 20):
+        if hh % ht == 0 and ht * wb * zc * 2 <= (4 << 20):
             return ht
     return 1
 
@@ -170,12 +206,15 @@ def conv3x3_s2d_psel(
     bias_s2d: jnp.ndarray,
     relu: bool = True,
     interpret: bool = False,
+    lane_masks: jnp.ndarray | None = None,
 ) -> jnp.ndarray:
     """3×3 'SAME' conv (+bias, +ReLU) on a 2×2 s2d-layout tensor.
 
-    x_s2d: (B, Hh, Ww, 4·Cin) phase-major; kmats: ``psconv_weights`` output
-    (4, 4Cin, 4Cout); bias_s2d: (4·Cout,) phase-major (s2d_vector). Exactly
-    equals relu(conv3x3_s2d(x, s2d_conv3x3_kernel(k)) + bias) up to fp32
+    x_s2d: (B, Hh, Ww, 4·Cin) phase-major (per group — pass ``lane_masks``
+    from :func:`psconv_lane_masks` for multi-group inputs); kmats:
+    ``psconv_weights`` output (4, 4Cin, 4Cout); bias_s2d: (4·Cout,)
+    phase-major (s2d_vector). Exactly equals
+    relu(conv3x3_s2d(x, s2d_conv3x3_kernel(k, groups)) + bias) up to fp32
     accumulation order (tests/test_pallas_kernels.py).
 
     Layout: XLA's TPU convs keep activations in a {3,0,2,1} (H, W, B, C
@@ -189,14 +228,15 @@ def conv3x3_s2d_psel(
     """
     b, hh, ww, zin = x_s2d.shape
     zout = kmats.shape[-1]
-    cq = zin // 4
+    if lane_masks is None:
+        lane_masks = psconv_lane_masks(zin // 4)
     xt = jnp.transpose(x_s2d, (1, 2, 0, 3)).reshape(hh, ww * b, zin)
     wb = ww * b
     ht = _pick_ht(hh, wb, zin)
     grid = (hh // ht,)
     bias2d = bias_s2d.reshape(1, zout)
     yt = pl.pallas_call(
-        partial(_kernel, cq=cq, sb=b, relu=relu),
+        partial(_kernel, sb=b, relu=relu),
         grid=grid,
         in_specs=[
             pl.BlockSpec(
@@ -218,6 +258,7 @@ def conv3x3_s2d_psel(
             ),
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
             (ht, wb, zout), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM
@@ -231,6 +272,9 @@ def conv3x3_s2d_psel(
             bytes_accessed=(hh + 2 * grid[0]) * wb * zin * 2 + hh * wb * zout * 2,
             transcendentals=0,
         ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
-    )(xt, xt, xt, kmats.astype(x_s2d.dtype), bias2d)
+    )(xt, xt, xt, kmats.astype(x_s2d.dtype), bias2d, lane_masks)
     return jnp.transpose(yt.reshape(hh, ww, b, zout), (2, 0, 1, 3))

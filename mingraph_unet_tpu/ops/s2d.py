@@ -188,23 +188,27 @@ def patch_reduce_mean_s2d(x_s2d: jnp.ndarray, patch: int, r: int = _R) -> jnp.nd
     p = patch // r
     b, hh, ww, cc = x_s2d.shape
     c = cc // (r * r)
-    # Phase sum FIRST and in the INPUT dtype: casting the whole tensor to
-    # f32 up front made XLA materialize an f32 copy in a transposed
-    # {2,3,1,0} layout per call site (~0.5 ms each at (8,256²,128) on v5e,
-    # device trace r3) and back-pressured the producing conv's output
-    # layout (+1.3 ms on dec block3 conv2). Summing the r²=4 phases in
-    # bf16 fuses into the producer; the f32 upcast then happens on the
-    # r²×-smaller tensor, and the long (p-term) W/H accumulations stay
-    # f32. Pipeline A/B at 512² b8: 14.66 → 14.04 ms/step. (Two rejected
-    # alternatives: a 0/1 selector-matrix MXU contraction — consumes the
-    # conv's layout but burns p·r²·C² real MACs, 15.0 ms; lane-aligned
-    # channel-slice adds via x[..., i·c:(i+1)·c] — avoids the reshape-axis
-    # relayout but the 32-lane-offset extracts cost more than the copy,
-    # 16.1 ms.)
-    x = x_s2d.reshape(b, hh, ww, r * r, c).sum(3).astype(jnp.float32)
-    x = x.reshape(b, hh, ww // p, p, c).sum(3)
-    x = x.reshape(b, hh // p, p, ww // p, c).sum(2)
-    return (x / (patch * patch)).astype(x_s2d.dtype)
+    # Phase sum FIRST via a 0/1 selector-matrix MXU contraction on the
+    # TRANSPOSED (H, W, B, C) view — a bitcast of the {3,0,2,1} layout the
+    # producing conv (or the psconv Pallas kernel) already has, so XLA
+    # inserts no relayout at all; the tiny dot (2·T·r²C·C MACs) then sums
+    # the phases in f32, and the long (p-term) W/H accumulations stay f32.
+    # History (512² b8 on v5e, device traces r3): a reshape-axis sum forced
+    # a {3,0,2,1}→{2,3,1,0} relayout copy per call site (~0.4 ms each);
+    # the same selector dot on the UN-transposed 4D tensor still pulled a
+    # relayout; lane-aligned channel-slice adds cost more than the copy;
+    # and the full p·r²·C² selector contraction of the whole patch mean
+    # burns real MACs (15.0 ms pipeline). Pipeline with this form:
+    # 13.00 → 12.52 ms/step.
+    sel = jnp.tile(jnp.eye(c, dtype=x_s2d.dtype), (r * r, 1))
+    xt = jnp.transpose(x_s2d, (1, 2, 0, 3))  # (hh, ww, b, r²c): layout bitcast
+    x = jax.lax.dot_general(
+        xt, sel, (((3,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    x = x.reshape(hh, ww // p, p, b, c).sum(2)
+    x = x.reshape(hh // p, p, ww // p, b, c).sum(1)
+    out = jnp.transpose(x, (2, 0, 1, 3))  # → (b, hh/p, ww/p, c), small
+    return (out / (patch * patch)).astype(x_s2d.dtype)
 
 
 def conv3x3_s2d(x_s2d: jnp.ndarray, kernel_s2d: jnp.ndarray) -> jnp.ndarray:

@@ -219,3 +219,29 @@ class TestConstMapConv:
             ref = s2d.conv3x3_s2d(bmap, k2)[0]
             got = s2d.conv3x3_s2d_const(v, k2, hh, ww)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), rtol=2e-5, atol=2e-5)
+
+    def test_grouped_input_matches(self):
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas.psconv import (
+            conv3x3_s2d_psel,
+            psconv_lane_masks,
+            psconv_weights,
+        )
+
+        rng = np.random.default_rng(3)
+        gs, h, w, cout = (8, 16), 12, 8, 8
+        cin = sum(gs)
+        parts = [
+            jnp.asarray(rng.standard_normal((2, h, w, g)), jnp.float32) for g in gs
+        ]
+        xs = jnp.concatenate([s2d.space_to_depth(p) for p in parts], axis=-1)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.2, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        k2 = s2d.s2d_conv3x3_kernel(k, gs)
+        with jax.default_matmul_precision("highest"):
+            ref = jax.nn.relu(s2d.conv3x3_s2d(xs, k2) + s2d.s2d_vector(bias))
+            got = conv3x3_s2d_psel(
+                xs, psconv_weights(k, gs), s2d.s2d_vector(bias),
+                relu=True, interpret=True, lane_masks=psconv_lane_masks(cin, gs),
+            )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
