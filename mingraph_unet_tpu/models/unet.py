@@ -238,44 +238,51 @@ class ConvBlock(nn.Module):
                 # broadcast map (batch-1; hoisted by XLA as loop-invariant).
                 x_prev, wt, bias_up = fused_up
                 skip_c = groups[0]
-                k2 = s2d_ops.s2d_conv3x3_kernel(kernel, groups)
-                k2a = k2[:, :, : 4 * skip_c, :]
-                k2b = k2[:, :, 4 * skip_c :, :]
-                k2b_x = jnp.einsum("cq,yxqo->yxco", wt.astype(k2b.dtype), k2b)
                 if (
                     not train
                     and self._psconv_on()
                     and 4 * skip_c == 128
                     and 4 * self.features == 128
                 ):
-                    # Skip term through the phase-select Pallas kernel (no
-                    # epilogue: the three terms sum before bias/ReLU). A
-                    # single grouped 256-lane psel over [skip ‖ up] was also
-                    # tried (r3): exact, but the up-matmul materialization
-                    # plus 2× kernel input traffic lost ~1.4 ms vs this
-                    # split — the XLA conv on the un-upsampled x_prev term
-                    # moves 4× less data.
+                    # Whole conv1 in one fused Pallas call: skip term via
+                    # the phase-select matmuls, x_prev term via tap-pair-
+                    # packed matmuls (the ConvTranspose contracted into the
+                    # tap matrices, as in the XLA path below), upsample-bias
+                    # field + bias + ReLU in the epilogue. A grouped
+                    # 256-lane psel over a materialized [skip ‖ up] concat
+                    # was also tried (r3): exact, but the up-matmul
+                    # materialization plus 2× kernel input traffic lost
+                    # ~1.4 ms vs keeping x_prev un-upsampled.
                     from mingraph_unet_tpu.ops.pallas import psconv as psconv_ops
 
-                    term_skip = psconv_ops.conv3x3_s2d_psel(
-                        x.astype(self.dtype),
-                        psconv_ops.psconv_weights(kernel[:, :, :skip_c, :]),
-                        jnp.zeros((4 * self.features,), jnp.float32),
-                        relu=False,
+                    km, kp, kc = psconv_ops.dec_conv1_weights(kernel, skip_c, wt)
+                    t9 = psconv_ops.dec_conv1_bias_table(
+                        kernel, skip_c, bias_up, bias
                     )
+                    x = psconv_ops.dec_conv1_fused(
+                        x.astype(self.dtype), x_prev.astype(self.dtype),
+                        km, kp, kc, t9,
+                    )
+                    fused_epilogue = True
                 else:
-                    term_skip = s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2a)
-                # The constant upsample-bias field is computed analytically
-                # (ops/s2d.py::conv3x3_s2d_const): as a conv it stopped
-                # fusing once conv2 moved to psconv and cost ~0.6 ms/step.
-                bias_field = s2d_ops.conv3x3_s2d_const(
-                    s2d_ops.s2d_vector(bias_up), k2b, hh, ww
-                )
-                x = (
-                    term_skip
-                    + s2d_ops.conv3x3_s2d(x_prev.astype(self.dtype), k2b_x)
-                    + bias_field[None].astype(self.dtype)
-                )
+                    k2 = s2d_ops.s2d_conv3x3_kernel(kernel, groups)
+                    k2a = k2[:, :, : 4 * skip_c, :]
+                    k2b = k2[:, :, 4 * skip_c :, :]
+                    k2b_x = jnp.einsum(
+                        "cq,yxqo->yxco", wt.astype(k2b.dtype), k2b
+                    )
+                    # The constant upsample-bias field is computed
+                    # analytically (ops/s2d.py::conv3x3_s2d_const): as a
+                    # conv it stops fusing when conv2 runs in Pallas and
+                    # costs ~0.6 ms/step standalone (device trace r3).
+                    bias_field = s2d_ops.conv3x3_s2d_const(
+                        s2d_ops.s2d_vector(bias_up), k2b, hh, ww
+                    )
+                    x = (
+                        s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2a)
+                        + s2d_ops.conv3x3_s2d(x_prev.astype(self.dtype), k2b_x)
+                        + bias_field[None].astype(self.dtype)
+                    )
             elif full_res_in:
                 # Full-res input → windowed lowering, always: it emits the
                 # s2d output directly, and the space_to_depth relayout the

@@ -278,3 +278,205 @@ def conv3x3_s2d_psel(
         interpret=interpret,
     )(xt, xt, xt, kmats.astype(x_s2d.dtype), bias2d, lane_masks)
     return jnp.transpose(yt.reshape(hh, ww, b, zout), (2, 0, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# Fused decoder conv1: psel(skip) + tap-pair-packed conv(x_prev) + bias field
+# ---------------------------------------------------------------------------
+
+# Tap pairing for the x_prev 3×3 conv (any exact cover works): four pairs at
+# full MXU K=128 via lane-concat of two 64-channel shifted views, plus the
+# center tap alone (half-K, 1/9 of the work).
+_PREV_PAIRS = (((0, 0), (0, 1)), ((0, 2), (1, 0)), ((1, 2), (2, 0)), ((2, 1), (2, 2)))
+_PREV_CENTER = (1, 1)
+
+
+def dec_conv1_weights(kernel: jnp.ndarray, skip_c: int, wt: jnp.ndarray):
+    """Weights for :func:`dec_conv1_fused`.
+
+    kernel: conv1's (3, 3, skip_c + up_c, Cout) full-res kernel (BN-folded);
+    wt: the s2d ConvTranspose matmul (Cin_prev, 4·up_c)
+    (ops/s2d.py::s2d_convt2x2_kernel). Returns (kmats_skip (4, 4·skip_c,
+    4Cout), kprev_pairs (4, 2·Cin_prev, 4Cout), kprev_center (Cin_prev,
+    4Cout)) with the ConvTranspose contracted into the x_prev tap matrices
+    (same algebra as the XLA fused_up path, models/unet.py).
+    """
+    from mingraph_unet_tpu.ops import s2d as s2d_ops
+
+    up_c = kernel.shape[2] - skip_c
+    k2b = s2d_ops.s2d_conv3x3_kernel(kernel, (skip_c, up_c))[:, :, 4 * skip_c :, :]
+    k2b_x = jnp.einsum("cq,yxqo->yxco", wt.astype(k2b.dtype), k2b)  # (3,3,Cp,4Cout)
+    kmats_skip = psconv_weights(kernel[:, :, :skip_c, :])
+    pairs = jnp.stack(
+        [
+            jnp.concatenate([k2b_x[a], k2b_x[b]], axis=0)
+            for (a, b) in ((p[0], p[1]) for p in _PREV_PAIRS)
+        ]
+    )
+    center = k2b_x[_PREV_CENTER]
+    return kmats_skip, pairs, center
+
+
+def dec_conv1_bias_table(
+    kernel: jnp.ndarray, skip_c: int, bias_up: jnp.ndarray, bias: jnp.ndarray
+) -> jnp.ndarray:
+    """(3, 3, 4Cout) f32 table: conv1's bias plus the border-attenuated
+    upsample-bias field value for each (row-class, col-class) ∈
+    {first, interior, last}² — the analytic piecewise-constant form of
+    ops/s2d.py::conv3x3_s2d_const evaluated per class."""
+    from mingraph_unet_tpu.ops import s2d as s2d_ops
+
+    up_c = kernel.shape[2] - skip_c
+    k2b = s2d_ops.s2d_conv3x3_kernel(kernel, (skip_c, up_c))[:, :, 4 * skip_c :, :]
+    t = jnp.einsum(
+        "yxio,i->yxo",
+        k2b.astype(jnp.float32),
+        s2d_ops.s2d_vector(bias_up).astype(jnp.float32),
+    )
+    # class c ∈ {0: first (tap −1 invalid), 1: interior, 2: last (+1 invalid)}
+    rsel = jnp.asarray([[0.0, 1, 1], [1, 1, 1], [1, 1, 0]], jnp.float32)
+    field = jnp.einsum("ad,be,deo->abo", rsel, rsel, t)
+    return field + s2d_ops.s2d_vector(bias).astype(jnp.float32)
+
+
+def _dec1_kernel(
+    xs_ref, xst_ref, xsb_ref, xp_ref, xpt_ref, xpb_ref,
+    ks_ref, kp_ref, kc_ref, t9_ref, m_ref, o_ref, *, sb: int,
+):
+    i = pl.program_id(0)
+    n = pl.num_programs(0)
+    band = xs_ref[...]
+    ht, wb, zc = band.shape
+    top = jnp.where(i == 0, jnp.zeros_like(xst_ref[...]), xst_ref[...])
+    bot = jnp.where(i == n - 1, jnp.zeros_like(xsb_ref[...]), xsb_ref[...])
+    xf = jnp.concatenate([top, band, bot], axis=0)
+    zcol = jnp.zeros((ht + 2, sb, zc), xf.dtype)
+    xl = jnp.concatenate([zcol, xf[:, : wb - sb]], axis=1)
+    xr = jnp.concatenate([xf[:, sb:], zcol], axis=1)
+    xc, xu, xd = xf[1:-1], xf[:-2], xf[2:]
+    qy1 = m_ref[0:1] != 0
+    qx1 = m_ref[1:2] != 0
+    r_op = jnp.where(qy1, xu, xd)
+    c_op = jnp.where(qx1, xl[1:-1], xr[1:-1])
+    d_op = jnp.where(
+        qy1, jnp.where(qx1, xl[:-2], xr[:-2]), jnp.where(qx1, xl[2:], xr[2:])
+    )
+    t = ht * wb
+
+    def mm(a, kmat, k):
+        return jnp.dot(a.reshape(t, k), kmat, preferred_element_type=jnp.float32)
+
+    acc = (
+        mm(xc, ks_ref[0], zc)
+        + mm(r_op, ks_ref[1], zc)
+        + mm(c_op, ks_ref[2], zc)
+        + mm(d_op, ks_ref[3], zc)
+    )
+    # x_prev 3×3 conv, taps packed in lane-concat pairs.
+    bandp = xp_ref[...]
+    cp = bandp.shape[-1]
+    topp = jnp.where(i == 0, jnp.zeros_like(xpt_ref[...]), xpt_ref[...])
+    botp = jnp.where(i == n - 1, jnp.zeros_like(xpb_ref[...]), xpb_ref[...])
+    xfp = jnp.concatenate([topp, bandp, botp], axis=0)
+    zcolp = jnp.zeros((ht + 2, sb, cp), xfp.dtype)
+    xlp = jnp.concatenate([zcolp, xfp[:, : wb - sb]], axis=1)
+    xrp = jnp.concatenate([xfp[:, sb:], zcolp], axis=1)
+
+    def view(tap):
+        ty, tx = tap
+        src = (xlp, xfp, xrp)[tx]
+        return src[ty : ty + ht]
+
+    def lane_cat(a, b):
+        ai = pltpu.bitcast(a, jnp.int32)
+        bi = pltpu.bitcast(b, jnp.int32)
+        return pltpu.bitcast(jnp.concatenate([ai, bi], axis=2), a.dtype)
+
+    for j, (ta, tb) in enumerate(_PREV_PAIRS):
+        acc = acc + mm(lane_cat(view(ta), view(tb)), kp_ref[j], 2 * cp)
+    acc = acc + mm(view(_PREV_CENTER), kc_ref[...], cp)
+    # Piecewise-constant bias(+field): interior column profile, plus
+    # first/last-image-row deltas applied only on the boundary bands.
+    colidx = jax.lax.broadcasted_iota(jnp.int32, (1, wb, 1), 1)
+    c0 = colidx < sb
+    c2 = colidx >= wb - sb
+
+    def row_profile(r):
+        return jnp.where(c0, t9_ref[r, 0:1], jnp.where(c2, t9_ref[r, 2:3], t9_ref[r, 1:2]))
+
+    acc3 = acc.reshape(ht, wb, -1) + row_profile(1)
+    rowidx = jax.lax.broadcasted_iota(jnp.int32, (ht, 1, 1), 0)
+    first = jnp.where(jnp.logical_and(i == 0, rowidx == 0), 1.0, 0.0)
+    last = jnp.where(
+        jnp.logical_and(i == n - 1, rowidx == ht - 1), 1.0, 0.0
+    )
+    acc3 = acc3 + first * (row_profile(0) - row_profile(1))
+    acc3 = acc3 + last * (row_profile(2) - row_profile(1))
+    o_ref[...] = jnp.maximum(acc3, 0.0).astype(o_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def dec_conv1_fused(
+    x_skip_s2d: jnp.ndarray,
+    x_prev: jnp.ndarray,
+    kmats_skip: jnp.ndarray,
+    kprev_pairs: jnp.ndarray,
+    kprev_center: jnp.ndarray,
+    t9: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """relu(conv1([skip ‖ ConvTranspose(x_prev)]) + bias) for the s2d
+    decoder block, fused: the skip term via the phase-select matmuls, the
+    x_prev term via tap-pair-packed matmuls (full MXU K from two
+    64-channel taps lane-concatenated through an i32 bitcast — Mosaic has
+    no bf16 lane rotate), and the border-attenuated upsample-bias field
+    applied as a piecewise-constant table in the epilogue. Equals the XLA
+    fused_up path (models/unet.py) up to fp32 accumulation order."""
+    b, hh, ww, zin = x_skip_s2d.shape
+    zout = kmats_skip.shape[-1]
+    cp = x_prev.shape[-1]
+    lane_masks = psconv_lane_masks(zin // 4)
+    xt = jnp.transpose(x_skip_s2d, (1, 2, 0, 3)).reshape(hh, ww * b, zin)
+    xpt = jnp.transpose(x_prev, (1, 2, 0, 3)).reshape(hh, ww * b, cp)
+    wb = ww * b
+    ht = _pick_ht(hh, wb, zin + cp)
+    grid = (hh // ht,)
+
+    def band_spec(z, _ht=ht):
+        return pl.BlockSpec((_ht, wb, z), lambda ii: (ii, 0, 0), memory_space=pltpu.VMEM)
+
+    def halo_spec(z, lo, _ht=ht, _hh=hh):
+        if lo:
+            idx = lambda ii, _h=_ht: (jnp.maximum(ii * _h - 1, 0), 0, 0)
+        else:
+            idx = lambda ii, _h=_ht, _hh2=_hh: (jnp.minimum(ii * _h + _h, _hh2 - 1), 0, 0)
+        return pl.BlockSpec((1, wb, z), idx, memory_space=pltpu.VMEM)
+
+    dt = x_skip_s2d.dtype
+    yt = pl.pallas_call(
+        partial(_dec1_kernel, sb=b),
+        grid=grid,
+        in_specs=[
+            band_spec(zin), halo_spec(zin, True), halo_spec(zin, False),
+            band_spec(cp), halo_spec(cp, True), halo_spec(cp, False),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=band_spec(zout),
+        out_shape=jax.ShapeDtypeStruct((hh, wb, zout), dt),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * hh * wb * (4 * zin + 9 * cp) * zout,
+            bytes_accessed=hh * wb * (zin + cp + zout) * 2,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        xt, xt, xt, xpt, xpt, xpt,
+        kmats_skip.astype(dt), kprev_pairs.astype(dt), kprev_center.astype(dt),
+        t9.astype(jnp.float32), lane_masks,
+    )
+    return jnp.transpose(yt.reshape(hh, ww, b, zout), (2, 0, 1, 3))

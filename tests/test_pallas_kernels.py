@@ -245,3 +245,44 @@ class TestConstMapConv:
                 relu=True, interpret=True, lane_masks=psconv_lane_masks(cin, gs),
             )
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+
+class TestDecConv1Fused:
+    """Fused decoder conv1 (psel skip term + tap-pair-packed x_prev conv +
+    bias-field epilogue) vs the XLA fused_up path it replaces."""
+
+    @pytest.mark.parametrize("shape", [(2, 12, 10), (1, 8, 8), (3, 16, 6)])
+    def test_matches_xla_fused_up(self, shape):
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas import psconv as P
+
+        b, hh, ww = shape
+        skip_c = up_c = cout = 32
+        cprev = 64
+        rng = np.random.default_rng(0)
+        x_skip = jnp.asarray(rng.standard_normal((b, hh, ww, 4 * skip_c)), jnp.float32)
+        x_prev = jnp.asarray(rng.standard_normal((b, hh, ww, cprev)), jnp.float32)
+        kernel = jnp.asarray(
+            rng.standard_normal((3, 3, skip_c + up_c, cout)) * 0.2, jnp.float32
+        )
+        bias = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        kt = jnp.asarray(rng.standard_normal((2, 2, cprev, up_c)) * 0.2, jnp.float32)
+        bias_up = jnp.asarray(rng.standard_normal(up_c), jnp.float32)
+        wt = s2d.s2d_convt2x2_kernel(kt)
+        groups = (skip_c, up_c)
+        k2 = s2d.s2d_conv3x3_kernel(kernel, groups)
+        k2a = k2[:, :, : 4 * skip_c, :]
+        k2b = k2[:, :, 4 * skip_c :, :]
+        k2b_x = jnp.einsum("cq,yxqo->yxco", wt, k2b)
+        with jax.default_matmul_precision("highest"):
+            field = s2d.conv3x3_s2d_const(s2d.s2d_vector(bias_up), k2b, hh, ww)
+            ref = jax.nn.relu(
+                s2d.conv3x3_s2d(x_skip, k2a)
+                + s2d.conv3x3_s2d(x_prev, k2b_x)
+                + field[None]
+                + s2d.s2d_vector(bias)
+            )
+            km, kp, kc = P.dec_conv1_weights(kernel, skip_c, wt)
+            t9 = P.dec_conv1_bias_table(kernel, skip_c, bias_up, bias)
+            got = P.dec_conv1_fused(x_skip, x_prev, km, kp, kc, t9, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
