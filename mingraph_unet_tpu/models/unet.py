@@ -152,14 +152,21 @@ class ConvBlock(nn.Module):
     # None = auto (TPU backend, inference only); tests force True/False.
     use_psconv: Optional[bool] = None
 
-    def _psconv_on(self) -> bool:
+    def _psconv_on(self, b: int, hh: int, ww: int) -> bool:
         if self.use_psconv is not None:
             return self.use_psconv
         import os
         sites = os.environ.get("MG_PSCONV_SITES", "auto")
         if sites == "none" or jax.default_backend() != "tpu":
             return False
-        if sites in ("auto", "all"):
+        if sites == "auto":
+            # Profitability gate (512² full pipeline A/B, v5e, r3): psel
+            # wins from b4 (262144 s2d pixels: 8.60 → 7.78 ms) but loses at
+            # b2 (3.83 → 4.53) and b1, and loses in fp32 (256² U-Net b1:
+            # 0.52 → 0.80 ms — the MXU runs fp32 at 1/8 rate, so the 16/9
+            # FLOP trade stops paying). Explicit sites/use_psconv override.
+            return self.dtype == jnp.bfloat16 and b * hh * ww >= (1 << 18)
+        if sites == "all":
             return True
         path = "/".join(self.scope.path) if self.scope is not None else ""
         return ("decoder" in path and sites in ("dec",)) or (
@@ -240,7 +247,7 @@ class ConvBlock(nn.Module):
                 skip_c = groups[0]
                 if (
                     not train
-                    and self._psconv_on()
+                    and self._psconv_on(b, hh, ww)
                     and 4 * skip_c == 128
                     and 4 * self.features == 128
                 ):
@@ -292,7 +299,7 @@ class ConvBlock(nn.Module):
                 x = s2d_ops.conv3x3_windowed_down(x.astype(self.dtype), kw)
             elif (
                 not train
-                and self._psconv_on()
+                and self._psconv_on(b, hh, ww)
                 and len(groups) == 1
                 and 4 * cin == 128
                 and 4 * self.features == 128

@@ -47,6 +47,15 @@ record: feeding the 4D tensor directly cost ~1 ms/step in {3,0,2,1}→
 {3,2,1,0} relayout fusions (fixed by the transpose-bitcast below), and a
 scan-carried operand gets a defensive XLA copy that inflates standalone
 microbenchmarks to ~0.92 ms/call — trace the pipeline, not the microbench.
+
+Scope limits: (a) profitability — the kernel loses below ~2^18 s2d pixels
+and in fp32; dispatch is gated in models/unet.py::ConvBlock._psconv_on
+with the measured numbers. (b) SPMD — the custom-call carries no
+partitioning rule, so under jit auto-sharding XLA would replicate its
+operands (correct, but an all-gather per call); sharded paths either run
+it inside shard_map shards or keep the XLA lowering. (c) Training uses
+the XLA path (no VJP; a custom_vjp with the adjoint-kernel psel is the
+mapped next step, ROADMAP).
 """
 
 from __future__ import annotations
@@ -193,8 +202,12 @@ def _pick_ht(hh: int, wb: int, zc: int) -> int:
     # xr, 4 matmul operands, f32 acc) stay within scoped VMEM. Larger bands
     # amortize the two halo-row re-reads (at ht=2 they double input DMA —
     # measured 625 → 500 µs/call going to ht=4 at (256, 2048, 128)).
+    # Band-bytes budget: the ~8 live band-sized temporaries must fit the
+    # 100 MB VMEM limit; 8 MiB bands keep b16/b32 serving at ht=8 too
+    # (shrinking ht doubles halo re-reads — the b16 falloff in the r3
+    # serving sweep traced to ht=4).
     for ht in (8, 4, 2, 1):
-        if hh % ht == 0 and ht * wb * zc * 2 <= (4 << 20):
+        if hh % ht == 0 and ht * wb * zc * 2 <= (8 << 20):
             return ht
     return 1
 

@@ -36,24 +36,34 @@ def main():
     results = {}
 
     def scan_time(fn, x, iters=10):
-        @jax.jit
-        def loop(x):
+        from functools import partial
+
+        @partial(jax.jit, static_argnames=("length",))
+        def loop(x, length):
             def body(c, _):
                 # c*1e-12 keeps the input loop-variant so XLA cannot hoist the
                 # input-dependent preprocessing out of the scan (x + c*0 folds
                 # to x and under-measures by ~20%).
                 return c + 1 + jnp.asarray(fn(x + c * 1e-12)).sum().astype(jnp.float32) * 0, None
 
-            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=iters)
+            c, _ = jax.lax.scan(body, jnp.float32(0), None, length=length)
             return c
 
-        float(loop(x))
-        ts = []
-        for _ in range(3):
-            t0 = time.perf_counter()
-            float(loop(x))
-            ts.append(time.perf_counter() - t0)
-        return min(ts) / iters
+        # Slope between two loop lengths cancels the fixed per-dispatch
+        # relay cost (~25 ms/call — at a single length of 10 it inflated
+        # every number by ~2.5 ms).
+        float(loop(x, length=iters))
+        float(loop(x, length=3 * iters))
+
+        def best(n):
+            ts = []
+            for _ in range(3):
+                t0 = time.perf_counter()
+                float(loop(x, length=n))
+                ts.append(time.perf_counter() - t0)
+            return min(ts)
+
+        return (best(3 * iters) - best(iters)) / (2 * iters)
 
     # --- config 1: 256² U-Net-only fp32 batch 1 ---
     unet32 = UNet(dtype=jnp.float32, s2d_level0=True)

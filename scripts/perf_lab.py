@@ -833,6 +833,49 @@ def exp_wconv():
     timed_loop(do_d2s, (x_s2d,), label="d2s relayout 128ch @256²")
 
 
+def exp_serve():
+    """Serving profile: one-shot single-image latency + steady-state
+    throughput across batch sizes (README's serving table)."""
+    setup()
+    import time
+
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.models.pipeline import MinGraphUNet
+
+    model = MinGraphUNet(dtype=jnp.bfloat16, detection_pre_pool=32)
+    x1 = jnp.zeros((1, 512, 512, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), x1)
+
+    # One-shot latency: single dispatch + scalar fetch (includes the
+    # per-call host round trip, which real serving also pays).
+    @jax.jit
+    def one(v, xx):
+        out = model.apply(v, xx, train=False)
+        return out["logits"].sum() + out["pred_confidence"].sum()
+
+    float(one(variables, x1))  # compile
+    lats = []
+    for _ in range(20):
+        t0 = time.perf_counter()
+        float(one(variables, x1))
+        lats.append(time.perf_counter() - t0)
+    lats.sort()
+    print(f"[lab] serve b1 one-shot latency: p50 {lats[10] * 1e3:.1f} ms "
+          f"p90 {lats[17] * 1e3:.1f} ms (includes relay dispatch)")
+
+    for b in (1, 2, 4, 8, 16, 32):
+        xb = jnp.zeros((b, 512, 512, 3), jnp.float32)
+
+        def fwd(v, xx, c):
+            out = model.apply(v, xx + c * 1e-12, train=False)
+            return out["logits"].sum() + out["pred_confidence"].sum()
+
+        ms = timed_loop(fwd, (variables, xb), label=f"serve b{b} steady-state")
+        print(f"      -> {b / ms * 1e3:.0f} img/s")
+
+
 if __name__ == "__main__":
     exp = sys.argv[1] if len(sys.argv) > 1 else "stages"
     {
@@ -849,4 +892,5 @@ if __name__ == "__main__":
         "convs": exp_convs,
         "convchain": exp_convchain,
         "convt": exp_convt,
+        "serve": exp_serve,
     }[exp]()
