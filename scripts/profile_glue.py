@@ -67,28 +67,72 @@ def capture(what: str, steps: int, trace_dir: str):
     return dt
 
 
-def summarize(trace_dir: str, top: int = 40):
-    """Parse the xplane with tensorboard_plugin_profile and print per-op
-    self-times."""
-    paths = glob.glob(os.path.join(trace_dir, "**", "*.xplane.pb"), recursive=True)
+def summarize(trace_dir: str, steps: int, top: int = 30):
+    """Parse the Chrome-trace export directly (no tensorboard_plugin_profile
+    dependency — absent in this environment): aggregate device-side XLA-op
+    self time by op name / HLO category / source line and print the top
+    entries per step."""
+    import collections
+    import gzip
+
+    paths = glob.glob(
+        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
+    )
     if not paths:
-        print("[profile] no xplane.pb found", file=sys.stderr)
+        print("[profile] no trace.json.gz found", file=sys.stderr)
         return None
     path = max(paths, key=os.path.getmtime)
-    from tensorboard_plugin_profile.convert import raw_to_tool_data as rtd
-
-    for tool in ("hlo_stats", "op_stats", "hlo_op_stats"):
-        try:
-            data, _ = rtd.xspace_to_tool_data([path], tool, {})
-            break
-        except Exception as e:
-            print(f"[profile] tool {tool!r} failed: {e}", file=sys.stderr)
-            data = None
-    if data is None:
-        return None
-    if isinstance(data, bytes):
-        data = data.decode("utf-8", "replace")
-    return data
+    with gzip.open(path) as f:
+        tr = json.load(f)
+    ev = tr["traceEvents"]
+    dev_pids = {
+        e["pid"]
+        for e in ev
+        if e.get("ph") == "M"
+        and e.get("name") == "process_name"
+        and "TPU" in e["args"].get("name", "")
+    }
+    op_tids = {
+        (e["pid"], e["tid"])
+        for e in ev
+        if e.get("ph") == "M"
+        and e.get("name") == "thread_name"
+        and e["pid"] in dev_pids
+        and e["args"].get("name") == "XLA Ops"
+    }
+    agg = collections.Counter()
+    meta = {}
+    cat = collections.Counter()
+    for e in ev:
+        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
+            continue
+        if e["name"].startswith("while"):
+            continue  # the whole-step wrapper double-counts its body
+        agg[e["name"]] += e.get("dur", 0)
+        meta.setdefault(e["name"], e.get("args", {}))
+        cat[e.get("args", {}).get("hlo_category", "?")] += e.get("dur", 0)
+    print("== time by HLO category (ms/step) ==")
+    for c, d in cat.most_common(10):
+        print(f"{d / steps / 1e3:8.3f}  {c}")
+    print("== top ops (us/step) ==")
+    rows = []
+    for n, d in agg.most_common(top):
+        a = meta[n]
+        src = str(a.get("source", "")).split("/")[-1]
+        row = {
+            "us_per_step": round(d / steps, 1),
+            "op": n,
+            "category": a.get("hlo_category", ""),
+            "source": src,
+            "long_name": a.get("long_name", "")[:160],
+        }
+        rows.append(row)
+        print(
+            f"{row['us_per_step']:8.1f}  {n:30s} {row['category'][:18]:18s} "
+            f"{src[:24]:24s} {row['long_name'][:48]}"
+        )
+    print(f"TOTAL accounted: {sum(agg.values()) / steps / 1e3:.2f} ms/step")
+    return rows
 
 
 def main():
@@ -105,25 +149,13 @@ def main():
     trace_dir = os.path.abspath(os.path.join(args.out, args.what))
     os.makedirs(trace_dir, exist_ok=True)
     capture(args.what, args.steps, trace_dir)
-    data = summarize(trace_dir)
-    if data is None:
+    rows = summarize(trace_dir, args.steps)
+    if rows is None:
         return
     out_path = os.path.join(trace_dir, "hlo_stats.json")
     with open(out_path, "w") as f:
-        f.write(data if isinstance(data, str) else json.dumps(data))
+        json.dump(rows, f, indent=1)
     print(f"[profile] wrote {out_path}", file=sys.stderr)
-    # hlo_stats is a JSON table; print the top rows by self time.
-    try:
-        tbl = json.loads(data)
-        rows = tbl[0]["rows"] if isinstance(tbl, list) else tbl["rows"]
-        cols = [c["label"] if isinstance(c, dict) else c for c in
-                (tbl[0]["cols"] if isinstance(tbl, list) else tbl["cols"])]
-        print("\t".join(cols))
-        for r in rows[:40]:
-            vals = [str(c.get("v") if isinstance(c, dict) else c) for c in r["c"]]
-            print("\t".join(vals))
-    except Exception as e:
-        print(f"[profile] raw dump (parse fallback: {e}); see {out_path}")
 
 
 if __name__ == "__main__":
