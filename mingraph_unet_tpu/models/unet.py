@@ -39,6 +39,31 @@ __all__ = ["ConvBlock", "FoldableBatchNorm", "UNetEncoder", "UNetDecoder", "UNet
 
 Dtype = Any
 
+
+def _active_mesh_shape() -> dict:
+    """Axis sizes of the device mesh active at trace time ({} when none).
+
+    Reads both the legacy ``with Mesh(...)`` resource env (how this repo's
+    sharded paths enter pjit) and the newer ``use_mesh`` abstract mesh.
+    Used by the psconv dispatch gate: spatial sharding must fall back to
+    the XLA conv lowering, and data-parallel profitability is per-shard.
+    """
+    try:
+        from jax._src import mesh as mesh_lib  # private API, guarded
+
+        pm = mesh_lib.thread_resources.env.physical_mesh
+        if not pm.empty:
+            return dict(pm.shape)
+    except Exception:
+        pass
+    try:
+        am = jax.sharding.get_abstract_mesh()
+        if not am.empty:
+            return dict(am.shape)
+    except Exception:
+        pass
+    return {}
+
 # Layout rule for the s2d ConvBlock (all cutovers measured at 512² b8 on
 # v5e, perf_lab ``wconv``): XLA lowers s2d/d2s relayouts ~6× off the HBM
 # roofline (the interleaving transpose), so the conv lowering follows the
@@ -159,13 +184,24 @@ class ConvBlock(nn.Module):
         sites = os.environ.get("MG_PSCONV_SITES", "auto")
         if sites == "none" or jax.default_backend() != "tpu":
             return False
+        mesh_shape = _active_mesh_shape()
+        if mesh_shape.get("spatial", 1) > 1:
+            # H-sharded inference: psconv's batch-dim partitioning rule
+            # would force an all-gather of the H shards at every call (the
+            # kernel cannot halo-exchange across shards); the XLA lowering's
+            # SPMD partitioner inserts the halos natively (ADVICE r3).
+            return False
         if sites == "auto":
             # Profitability gate (512² full pipeline A/B, v5e, r3): psel
             # wins from b4 (262144 s2d pixels: 8.60 → 7.78 ms) but loses at
             # b2 (3.83 → 4.53) and b1, and loses in fp32 (256² U-Net b1:
             # 0.52 → 0.80 ms — the MXU runs fp32 at 1/8 rate, so the 16/9
-            # FLOP trade stops paying). Explicit sites/use_psconv override.
-            return self.dtype == jnp.bfloat16 and b * hh * ww >= (1 << 18)
+            # FLOP trade stops paying). Under a data-parallel mesh the
+            # kernel runs per-shard (custom_partitioning batch rule), so
+            # the gate counts PER-SHARD pixels, not global ones.
+            # Explicit sites/use_psconv override.
+            shards = mesh_shape.get("data", 1) * mesh_shape.get("dcn", 1)
+            return self.dtype == jnp.bfloat16 and (b * hh * ww) // shards >= (1 << 18)
         if sites == "all":
             return True
         path = "/".join(self.scope.path) if self.scope is not None else ""
@@ -269,6 +305,7 @@ class ConvBlock(nn.Module):
                     x = psconv_ops.dec_conv1_fused(
                         x.astype(self.dtype), x_prev.astype(self.dtype),
                         km, kp, kc, t9,
+                        interpret=psconv_ops._INTERPRET,
                     )
                     fused_epilogue = True
                 else:
@@ -315,6 +352,7 @@ class ConvBlock(nn.Module):
                     km,
                     s2d_ops.s2d_vector(bias).astype(jnp.float32),
                     relu=True,
+                    interpret=psconv_ops._INTERPRET,
                 )
                 fused_epilogue = True
             else:
@@ -424,6 +462,9 @@ class DecoderBlock(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     s2d: bool = False
+    # Forwarded to the inner ConvBlock (None = auto gate); lets tests force
+    # the fused dec-conv1 Pallas dispatch on CPU (interpret mode).
+    use_psconv: Optional[bool] = None
 
     @nn.compact
     def __call__(self, x_prev: jnp.ndarray, x_skip: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -471,6 +512,7 @@ class DecoderBlock(nn.Module):
             self.dtype,
             True,  # s2d
             (skip_c, self.up_features),
+            use_psconv=self.use_psconv,
             name="conv_block",
         )(
             x_skip_s2d,

@@ -50,17 +50,22 @@ microbenchmarks to ~0.92 ms/call — trace the pipeline, not the microbench.
 
 Scope limits: (a) profitability — the kernel loses below ~2^18 s2d pixels
 and in fp32; dispatch is gated in models/unet.py::ConvBlock._psconv_on
-with the measured numbers. (b) SPMD — the custom-call carries no
-partitioning rule, so under jit auto-sharding XLA would replicate its
-operands (correct, but an all-gather per call); sharded paths either run
-it inside shard_map shards or keep the XLA lowering. (c) Training uses
-the XLA path (no VJP; a custom_vjp with the adjoint-kernel psel is the
-mapped next step, ROADMAP).
+with the measured numbers (per-shard pixels under a data-parallel mesh).
+(b) SPMD — both kernels carry a ``custom_partitioning`` rule (r4): the
+batch dim partitions (each shard runs the kernel on its local batch — a
+conv is per-image), all other operands/dims are declared replicated, so
+data-parallel sharded inference keeps the kernel with NO all-gather
+(tests/test_pallas_kernels.py::TestPsconvSharding asserts the compiled
+HLO). Spatially (H-)sharded paths need halo exchange the kernel does not
+do across shards — ConvBlock._psconv_on falls back to the XLA lowering
+(whose SPMD partitioner inserts the halos) when the active mesh has a
+non-trivial 'spatial' axis. (c) Training uses the XLA path (no VJP; a
+custom_vjp with the adjoint-kernel psel is the mapped next step, ROADMAP).
 """
 
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 from typing import Sequence, Tuple
 
 import jax
@@ -68,8 +73,45 @@ import jax.numpy as jnp
 import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
+from jax.experimental.custom_partitioning import custom_partitioning
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 __all__ = ["psconv_weights", "psconv_lane_masks", "conv3x3_s2d_psel"]
+
+# Flipped to True by CPU tests (monkeypatch) so the ConvBlock-level psconv
+# dispatch — TPU-only in production — can run its Pallas calls in
+# interpreter mode and be integration-tested without a chip.
+_INTERPRET = False
+
+
+def _def_batch_partition(f, lower_fn, n_args: int, batch_args, sharding_rule: str):
+    """Register a batch-dim partitioning on custom_partitioning object ``f``:
+    dim 0 of the 4D operands in ``batch_args`` (and of the result) partitions
+    — the kernels are per-image, so each shard runs on its local batch —
+    everything else is declared replicated. ``sharding_rule`` is the Shardy
+    einsum-notation propagation rule."""
+
+    def _bspec(arg_shapes):
+        spec = arg_shapes[0].sharding.spec
+        return spec[0] if len(spec) else None
+
+    def partition(mesh, arg_shapes, result_shape):
+        b = _bspec(arg_shapes)
+        args = tuple(
+            NamedSharding(mesh, P(b, None, None, None) if i in batch_args else P())
+            for i in range(n_args)
+        )
+        return mesh, lower_fn, NamedSharding(mesh, P(b, None, None, None)), args
+
+    def infer(mesh, arg_shapes, result_shape):
+        return NamedSharding(mesh, P(_bspec(arg_shapes), None, None, None))
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule=sharding_rule,
+    )
+    return f
 
 
 def _group_sizes(cin: int, groups: Sequence[int]) -> Tuple[int, ...]:
@@ -230,6 +272,32 @@ def conv3x3_s2d_psel(
     relu(conv3x3_s2d(x, s2d_conv3x3_kernel(k, groups)) + bias) up to fp32
     accumulation order (tests/test_pallas_kernels.py).
 
+    Carries a batch-dim SPMD partitioning rule (module docstring §b):
+    under a data-parallel mesh each shard runs the kernel on its local
+    batch with no collective at the boundary.
+    """
+    if lane_masks is None:
+        lane_masks = psconv_lane_masks(x_s2d.shape[-1] // 4)
+    return _psel_partitioned(relu, interpret)(x_s2d, kmats, bias_s2d, lane_masks)
+
+
+@lru_cache(maxsize=None)
+def _psel_partitioned(relu: bool, interpret: bool):
+    """One custom_partitioning object per (relu, interpret) config — cached
+    so repeated traces reuse the same callable (jit-cache hygiene)."""
+
+    def impl(x_s2d, kmats, bias_s2d, lane_masks):
+        return _psel_compute(x_s2d, kmats, bias_s2d, lane_masks, relu=relu, interpret=interpret)
+
+    f = custom_partitioning(impl)
+    return _def_batch_partition(
+        f, impl, 4, {0}, "b h w i, s i j, j, m i -> b h w j"
+    )
+
+
+def _psel_compute(x_s2d, kmats, bias_s2d, lane_masks, *, relu: bool, interpret: bool):
+    """Unpartitioned kernel call (per-shard body under a mesh).
+
     Layout: XLA's TPU convs keep activations in a {3,0,2,1} (H, W, B, C
     major→minor) layout; a Pallas operand is pinned to the default
     {3,2,1,0}. Feeding the 4D tensor directly therefore inserted a ~0.5 ms
@@ -241,8 +309,7 @@ def conv3x3_s2d_psel(
     """
     b, hh, ww, zin = x_s2d.shape
     zout = kmats.shape[-1]
-    if lane_masks is None:
-        lane_masks = psconv_lane_masks(zin // 4)
+    isz = x_s2d.dtype.itemsize
     xt = jnp.transpose(x_s2d, (1, 2, 0, 3)).reshape(hh, ww * b, zin)
     wb = ww * b
     ht = _pick_ht(hh, wb, zin)
@@ -282,7 +349,7 @@ def conv3x3_s2d_psel(
         # silently deflates bench.py's MFU accounting).
         cost_estimate=pl.CostEstimate(
             flops=4 * 2 * hh * wb * zin * zout,
-            bytes_accessed=(hh + 2 * grid[0]) * wb * zin * 2 + hh * wb * zout * 2,
+            bytes_accessed=(hh + 2 * grid[0]) * wb * zin * isz + hh * wb * zout * isz,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(
@@ -410,12 +477,22 @@ def _dec1_kernel(
     acc = acc + mm(view(_PREV_CENTER), kc_ref[...], cp)
     # Piecewise-constant bias(+field): interior column profile, plus
     # first/last-image-row deltas applied only on the boundary bands.
+    # Column classes are applied ADDITIVELY (interior + first-delta +
+    # last-delta), like the row classes: when the s2d width is 1 a column
+    # is both first AND last, and by linearity the sum of both deltas
+    # yields exactly the both-taps-invalid field value (a where-chain would
+    # let the first-column predicate shadow the last-column one).
     colidx = jax.lax.broadcasted_iota(jnp.int32, (1, wb, 1), 1)
-    c0 = colidx < sb
-    c2 = colidx >= wb - sb
+    c0 = jnp.where(colidx < sb, 1.0, 0.0)
+    c2 = jnp.where(colidx >= wb - sb, 1.0, 0.0)
 
     def row_profile(r):
-        return jnp.where(c0, t9_ref[r, 0:1], jnp.where(c2, t9_ref[r, 2:3], t9_ref[r, 1:2]))
+        interior = t9_ref[r, 1:2]
+        return (
+            interior
+            + c0 * (t9_ref[r, 0:1] - interior)
+            + c2 * (t9_ref[r, 2:3] - interior)
+        )
 
     acc3 = acc.reshape(ht, wb, -1) + row_profile(1)
     rowidx = jax.lax.broadcasted_iota(jnp.int32, (ht, 1, 1), 0)
@@ -444,11 +521,39 @@ def dec_conv1_fused(
     64-channel taps lane-concatenated through an i32 bitcast — Mosaic has
     no bf16 lane rotate), and the border-attenuated upsample-bias field
     applied as a piecewise-constant table in the epilogue. Equals the XLA
-    fused_up path (models/unet.py) up to fp32 accumulation order."""
+    fused_up path (models/unet.py) up to fp32 accumulation order.
+
+    Batch-dim SPMD rule as in :func:`conv3x3_s2d_psel` (both x operands
+    shard over batch; weights/tables replicated)."""
+    return _dec1_partitioned(interpret)(
+        x_skip_s2d, x_prev, kmats_skip, kprev_pairs, kprev_center, t9,
+        psconv_lane_masks(x_skip_s2d.shape[-1] // 4),
+    )
+
+
+@lru_cache(maxsize=None)
+def _dec1_partitioned(interpret: bool):
+    def impl(x_skip_s2d, x_prev, kmats_skip, kprev_pairs, kprev_center, t9, lane_masks):
+        return _dec1_compute(
+            x_skip_s2d, x_prev, kmats_skip, kprev_pairs, kprev_center, t9,
+            lane_masks, interpret=interpret,
+        )
+
+    f = custom_partitioning(impl)
+    return _def_batch_partition(
+        f, impl, 7, {0, 1},
+        "b h w i, b h w p, s i j, t q j, p j, u v j, m i -> b h w j",
+    )
+
+
+def _dec1_compute(
+    x_skip_s2d, x_prev, kmats_skip, kprev_pairs, kprev_center, t9,
+    lane_masks, *, interpret: bool,
+) -> jnp.ndarray:
     b, hh, ww, zin = x_skip_s2d.shape
     zout = kmats_skip.shape[-1]
     cp = x_prev.shape[-1]
-    lane_masks = psconv_lane_masks(zin // 4)
+    isz = x_skip_s2d.dtype.itemsize
     xt = jnp.transpose(x_skip_s2d, (1, 2, 0, 3)).reshape(hh, ww * b, zin)
     xpt = jnp.transpose(x_prev, (1, 2, 0, 3)).reshape(hh, ww * b, cp)
     wb = ww * b
@@ -482,7 +587,7 @@ def dec_conv1_fused(
         out_shape=jax.ShapeDtypeStruct((hh, wb, zout), dt),
         cost_estimate=pl.CostEstimate(
             flops=2 * hh * wb * (4 * zin + 9 * cp) * zout,
-            bytes_accessed=hh * wb * (zin + cp + zout) * 2,
+            bytes_accessed=hh * wb * (zin + cp + zout) * isz,
             transcendentals=0,
         ),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),

@@ -251,7 +251,10 @@ class TestDecConv1Fused:
     """Fused decoder conv1 (psel skip term + tap-pair-packed x_prev conv +
     bias-field epilogue) vs the XLA fused_up path it replaces."""
 
-    @pytest.mark.parametrize("shape", [(2, 12, 10), (1, 8, 8), (3, 16, 6)])
+    # (2, 8, 1): s2d width 1 — every column is both first AND last, the
+    # degenerate case where the pre-r4 where-chain column profile dropped
+    # the last-column field delta (ADVICE r3).
+    @pytest.mark.parametrize("shape", [(2, 12, 10), (1, 8, 8), (3, 16, 6), (2, 8, 1)])
     def test_matches_xla_fused_up(self, shape):
         from mingraph_unet_tpu.ops import s2d
         from mingraph_unet_tpu.ops.pallas import psconv as P
@@ -286,3 +289,154 @@ class TestDecConv1Fused:
             t9 = P.dec_conv1_bias_table(kernel, skip_c, bias_up, bias)
             got = P.dec_conv1_fused(x_skip, x_prev, km, kp, kc, t9, interpret=True)
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+class TestConvBlockPsconvDispatch:
+    """ConvBlock/DecoderBlock-level psconv dispatch (the _psconv_on gate,
+    eligibility checks, and weight wiring against BN-folded kernels) run on
+    CPU with interpreter-mode kernels: output equivalence vs the XLA
+    lowering at the exact production call sites (ADVICE r3)."""
+
+    def _force_interpret(self, monkeypatch):
+        from mingraph_unet_tpu.ops.pallas import psconv
+
+        monkeypatch.setattr(psconv, "_INTERPRET", True)
+
+    def test_convblock_s2d_psconv_vs_xla(self, monkeypatch):
+        from mingraph_unet_tpu.models.unet import ConvBlock
+
+        self._force_interpret(monkeypatch)
+        rng = np.random.default_rng(0)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 128)), jnp.float32)  # cin=32
+        mk = lambda use: ConvBlock(32, True, jnp.float32, s2d=True, use_psconv=use)
+        variables = mk(False).init(jax.random.key(0), x)
+        with jax.default_matmul_precision("highest"):
+            ref = mk(False).apply(variables, x, train=False)
+            got = mk(True).apply(variables, x, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+    def test_decoder_block_fused_psconv_vs_xla(self, monkeypatch):
+        from mingraph_unet_tpu.models.unet import DecoderBlock
+
+        self._force_interpret(monkeypatch)
+        rng = np.random.default_rng(1)
+        x_prev = jnp.asarray(rng.standard_normal((2, 8, 8, 64)), jnp.float32)
+        x_skip = jnp.asarray(rng.standard_normal((2, 8, 8, 128)), jnp.float32)
+        mk = lambda use: DecoderBlock(
+            out_features=32, up_features=32, dtype=jnp.float32, s2d=True, use_psconv=use
+        )
+        variables = mk(False).init(jax.random.key(0), x_prev, x_skip)
+        with jax.default_matmul_precision("highest"):
+            ref = mk(False).apply(variables, x_prev, x_skip, train=False)
+            got = mk(True).apply(variables, x_prev, x_skip, train=False)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+class TestPsconvSharding:
+    """SPMD story (VERDICT r3 #5): under a data-parallel mesh the psconv
+    custom-calls partition over batch (each shard runs its local kernel) —
+    sharded inference keeps psconv with NO all-gather around the call."""
+
+    def _no_allgather(self, compiled_text):
+        t = compiled_text.lower()
+        assert "all-gather" not in t and "all_gather" not in t, "operands were replicated"
+
+    def test_psel_data_sharded_equivalence(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas.psconv import conv3x3_s2d_psel, psconv_weights
+        from mingraph_unet_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(0)
+        cin = cout = 16
+        x = jnp.asarray(rng.standard_normal((8, 8, 8, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.2, jnp.float32)
+        bias = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        xs = s2d.space_to_depth(x)
+        km = psconv_weights(k)
+        bv = s2d.s2d_vector(bias)
+
+        def f(xs):
+            return conv3x3_s2d_psel(xs, km, bv, relu=True, interpret=True)
+
+        with jax.default_matmul_precision("highest"):
+            ref = f(xs)
+            mesh = make_mesh(8, 1)
+            with mesh:
+                xs_sh = jax.device_put(xs, NamedSharding(mesh, P("data")))
+                jf = jax.jit(f)
+                got = jf(xs_sh)
+                compiled = jf.lower(xs_sh).compile().as_text()
+        self._no_allgather(compiled)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
+
+    def test_dec1_data_sharded_equivalence(self):
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas import psconv as P_ops
+        from mingraph_unet_tpu.parallel.mesh import make_mesh
+
+        rng = np.random.default_rng(1)
+        skip_c = up_c = cout = 8
+        cprev = 16
+        x_skip = jnp.asarray(rng.standard_normal((8, 8, 8, 4 * skip_c)), jnp.float32)
+        x_prev = jnp.asarray(rng.standard_normal((8, 8, 8, cprev)), jnp.float32)
+        kernel = jnp.asarray(
+            rng.standard_normal((3, 3, skip_c + up_c, cout)) * 0.2, jnp.float32
+        )
+        bias = jnp.asarray(rng.standard_normal(cout), jnp.float32)
+        kt = jnp.asarray(rng.standard_normal((2, 2, cprev, up_c)) * 0.2, jnp.float32)
+        bias_up = jnp.asarray(rng.standard_normal(up_c), jnp.float32)
+        wt = s2d.s2d_convt2x2_kernel(kt)
+        km, kp, kc = P_ops.dec_conv1_weights(kernel, skip_c, wt)
+        t9 = P_ops.dec_conv1_bias_table(kernel, skip_c, bias_up, bias)
+
+        def f(a, b):
+            return P_ops.dec_conv1_fused(a, b, km, kp, kc, t9, interpret=True)
+
+        with jax.default_matmul_precision("highest"):
+            ref = f(x_skip, x_prev)
+            mesh = make_mesh(8, 1)
+            with mesh:
+                sh = NamedSharding(mesh, P("data"))
+                a, b = jax.device_put(x_skip, sh), jax.device_put(x_prev, sh)
+                jf = jax.jit(f)
+                got = jf(a, b)
+                compiled = jf.lower(a, b).compile().as_text()
+        self._no_allgather(compiled)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-4)
+
+
+class TestPsconvMeshGate:
+    """The auto dispatch gate is mesh-aware (ADVICE r3): spatially-sharded
+    paths fall back to the XLA lowering, data-parallel profitability counts
+    per-shard pixels."""
+
+    def test_active_mesh_shape(self):
+        from mingraph_unet_tpu.models.unet import _active_mesh_shape
+        from mingraph_unet_tpu.parallel.mesh import make_mesh
+
+        assert _active_mesh_shape() == {}
+        with make_mesh(4, 2):
+            shape = _active_mesh_shape()
+            assert shape.get("spatial") == 2 and shape.get("data") == 4
+        assert _active_mesh_shape() == {}
+
+    def test_gate_spatial_off_and_per_shard_pixels(self, monkeypatch):
+        from mingraph_unet_tpu.models.unet import ConvBlock
+        from mingraph_unet_tpu.parallel.mesh import make_mesh
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        blk = ConvBlock(32, dtype=jnp.bfloat16, s2d=True)
+        # single-device: 8·256·256 = 2^19 pixels passes the 2^18 gate
+        assert blk._psconv_on(8, 256, 256)
+        with make_mesh(4, 2):  # spatial axis > 1 -> XLA path
+            assert not blk._psconv_on(8, 256, 256)
+        with make_mesh(8, 1):  # per-shard: 2^19 / 8 = 2^16 < 2^18 -> off
+            assert not blk._psconv_on(8, 256, 256)
+        with make_mesh(2, 1):  # per-shard: 2^18 -> on
+            assert blk._psconv_on(8, 256, 256)
+        # explicit override bypasses the gate entirely
+        assert ConvBlock(32, dtype=jnp.bfloat16, s2d=True, use_psconv=True)._psconv_on(1, 2, 2)
