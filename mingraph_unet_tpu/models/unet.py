@@ -209,6 +209,20 @@ class ConvBlock(nn.Module):
             "encoder" in path and sites in ("enc",)
         )
 
+    def _psconv_train_on(self, b: int, hh: int, ww: int) -> bool:
+        """Training-path psconv gate: the inference gate plus a dedicated
+        off-switch (MG_PSCONV_TRAIN=none). Profitability uses the same
+        per-shard-pixel rule — at the reference 128² b16 training config
+        (2^16 s2d pixels) the auto gate stays OFF; 512²-class training
+        crosses it. NOTE r4: the 2^18 threshold is carried over from the
+        measured inference A/B; the train-step A/B on real hardware is
+        pending TPU relay recovery (tracked in ROADMAP)."""
+        import os
+
+        if os.environ.get("MG_PSCONV_TRAIN", "auto") == "none":
+            return False
+        return self._psconv_on(b, hh, ww)
+
     def _conv(self, x, kernel, bias):
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
@@ -355,6 +369,22 @@ class ConvBlock(nn.Module):
                     interpret=psconv_ops._INTERPRET,
                 )
                 fused_epilogue = True
+            elif (
+                train
+                and self._psconv_train_on(b, hh, ww)
+                and len(groups) == 1
+                and 4 * cin == 128
+                and 4 * self.features == 128
+            ):
+                # Training through the phase-select kernel (custom_vjp:
+                # adjoint-kernel psel for dx, operand-einsum for dK — both
+                # at 16/9× FLOPs vs the dense form's 4×). Raw conv only:
+                # bias/BN(batch stats)/ReLU follow in the epilogue below.
+                from mingraph_unet_tpu.ops.pallas import psconv as psconv_ops
+
+                x = psconv_ops.psconv_train(
+                    x.astype(self.dtype), kernel, interpret=psconv_ops._INTERPRET
+                )
             else:
                 k2 = s2d_ops.s2d_conv3x3_kernel(kernel, groups)
                 x = s2d_ops.conv3x3_s2d(x.astype(self.dtype), k2)

@@ -361,6 +361,96 @@ def _psel_compute(x_s2d, kmats, bias_s2d, lane_masks, *, relu: bool, interpret: 
 
 
 # ---------------------------------------------------------------------------
+# Training path: custom_vjp over the phase-select conv (VERDICT r3 #3)
+# ---------------------------------------------------------------------------
+#
+# The adjoint of a 3×3 'SAME' conv is a 3×3 'SAME' conv with the spatially
+# flipped, in/out-transposed kernel — so dx runs through the SAME psel
+# kernel (16/9× useful FLOPs instead of the dense-s2d form's 4×). For dK,
+# note the forward is y = Σ_i A_i(x) @ K_i with A_i the four LINEAR
+# lane-select/shift operands (center/row/col/diag), hence
+# dK_i = A_i(x)ᵀ @ g — four [4C, T]·[T, 4C] MXU matmuls (T = all s2d
+# pixels) on operands materialized by cheap XLA shifts+selects — and the
+# full-res 3×3 kernel gradient is the pullback of (dK_1..dK_4) through the
+# linear embedding ``psconv_weights`` (jax.linear_transpose does this
+# mechanically). No bias/ReLU here: in train mode ConvBlock applies
+# bias→BN(batch stats)→ReLU outside the conv, so the op is the raw conv.
+
+
+def _psel_operands_xla(x: jnp.ndarray) -> jnp.ndarray:
+    """The four lane-select operands A_i(x) of the psel decomposition,
+    materialized with XLA shifts (zero 'SAME' boundaries) and lane selects:
+    (4, B, Hh, Ww, 4C) stacked [center, row, col, diag]. Mirrors _kernel's
+    construction on the merged view exactly (the merged column shift by B
+    equals a per-image W shift)."""
+    b, hh, ww, zin = x.shape
+    m = psconv_lane_masks(zin // 4)
+    qy1 = (m[0] != 0)[None, None, None, :]
+    qx1 = (m[1] != 0)[None, None, None, :]
+
+    def sh(dy, dx):
+        pad = ((0, 0), (max(dy, 0), max(-dy, 0)), (max(dx, 0), max(-dx, 0)), (0, 0))
+        y = jnp.pad(x, pad)
+        return y[:, max(-dy, 0) : max(-dy, 0) + hh, max(-dx, 0) : max(-dx, 0) + ww]
+
+    r_op = jnp.where(qy1, sh(1, 0), sh(-1, 0))  # qy=1 reads the row above
+    c_op = jnp.where(qx1, sh(0, 1), sh(0, -1))
+    d_op = jnp.where(
+        qy1,
+        jnp.where(qx1, sh(1, 1), sh(1, -1)),
+        jnp.where(qx1, sh(-1, 1), sh(-1, -1)),
+    )
+    return jnp.stack([x, r_op, c_op, d_op])
+
+
+def psconv_train(x_s2d: jnp.ndarray, kernel: jnp.ndarray, interpret: bool = False):
+    """Differentiable raw 3×3 'SAME' s2d conv (no bias/ReLU) through the
+    phase-select Pallas kernel: forward AND both backward contractions run
+    at the 16/9× phase-select FLOP count instead of the dense-s2d 4×.
+    ``kernel`` is the full-res (3, 3, Cin, Cout) kernel (single group).
+    Gradient parity vs the XLA lowering: tests/test_pallas_kernels.py::
+    TestPsconvTrainVJP."""
+    return _psconv_train(interpret, x_s2d, kernel)
+
+
+@partial(jax.custom_vjp, nondiff_argnums=(0,))
+def _psconv_train(interpret, x_s2d, kernel):
+    zout4 = 4 * kernel.shape[-1]
+    return conv3x3_s2d_psel(
+        x_s2d, psconv_weights(kernel), jnp.zeros((zout4,), jnp.float32),
+        relu=False, interpret=interpret,
+    )
+
+
+def _psconv_train_fwd(interpret, x_s2d, kernel):
+    return _psconv_train(interpret, x_s2d, kernel), (x_s2d, kernel)
+
+
+def _psconv_train_bwd(interpret, res, g):
+    x_s2d, kernel = res
+    cin4 = x_s2d.shape[-1]
+    # dx: psel with the flipped/transposed (adjoint) kernel.
+    ka = jnp.transpose(kernel[::-1, ::-1], (0, 1, 3, 2))
+    dx = conv3x3_s2d_psel(
+        g, psconv_weights(ka), jnp.zeros((cin4,), jnp.float32),
+        relu=False, interpret=interpret,
+    ).astype(x_s2d.dtype)
+    # dK_i = A_i(x)ᵀ @ g in fp32, pulled back through psconv_weights.
+    ops4 = _psel_operands_xla(x_s2d)
+    dkmats = jnp.einsum(
+        "sbhwi,bhwo->sio", ops4, g, preferred_element_type=jnp.float32
+    )
+    pullback = jax.linear_transpose(
+        psconv_weights, jax.ShapeDtypeStruct(kernel.shape, jnp.float32)
+    )
+    (dkernel,) = pullback(dkmats.astype(jnp.float32))
+    return dx, dkernel.astype(kernel.dtype)
+
+
+_psconv_train.defvjp(_psconv_train_fwd, _psconv_train_bwd)
+
+
+# ---------------------------------------------------------------------------
 # Fused decoder conv1: psel(skip) + tap-pair-packed conv(x_prev) + bias field
 # ---------------------------------------------------------------------------
 

@@ -440,3 +440,90 @@ class TestPsconvMeshGate:
             assert blk._psconv_on(8, 256, 256)
         # explicit override bypasses the gate entirely
         assert ConvBlock(32, dtype=jnp.bfloat16, s2d=True, use_psconv=True)._psconv_on(1, 2, 2)
+
+
+class TestPsconvTrainVJP:
+    """Gradient parity of the training-path psconv custom_vjp (adjoint-
+    kernel psel for dx, operand-einsum + psconv_weights pullback for dK)
+    vs the XLA dense-s2d lowering (VERDICT r3 #3)."""
+
+    def _setup(self, b=2, h=12, w=10, cin=8, cout=8, seed=0):
+        from mingraph_unet_tpu.ops import s2d
+
+        rng = np.random.default_rng(seed)
+        x = jnp.asarray(rng.standard_normal((b, h, w, cin)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((3, 3, cin, cout)) * 0.2, jnp.float32)
+        r = jnp.asarray(
+            rng.standard_normal((b, h // 2, w // 2, 4 * cout)), jnp.float32
+        )
+        return s2d.space_to_depth(x), k, r
+
+    def test_value_and_grads_match_xla(self):
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas.psconv import psconv_train
+
+        xs, k, r = self._setup()
+
+        def loss_ours(xs, k):
+            return jnp.sum(psconv_train(xs, k, interpret=True) * r)
+
+        def loss_ref(xs, k):
+            return jnp.sum(s2d.conv3x3_s2d(xs, s2d.s2d_conv3x3_kernel(k, (k.shape[2],))) * r)
+
+        with jax.default_matmul_precision("highest"):
+            v0, (gx0, gk0) = jax.value_and_grad(loss_ref, (0, 1))(xs, k)
+            v1, (gx1, gk1) = jax.value_and_grad(loss_ours, (0, 1))(xs, k)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(gx1), np.asarray(gx0), atol=5e-5)
+        np.testing.assert_allclose(np.asarray(gk1), np.asarray(gk0), atol=5e-4)
+
+    def test_nonsquare_and_rect_channels(self):
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas.psconv import psconv_train
+
+        xs, k, r = self._setup(b=1, h=8, w=16, cin=4, cout=12, seed=3)
+
+        def loss_ours(xs, k):
+            return jnp.sum(psconv_train(xs, k, interpret=True) * r)
+
+        def loss_ref(xs, k):
+            return jnp.sum(s2d.conv3x3_s2d(xs, s2d.s2d_conv3x3_kernel(k, (k.shape[2],))) * r)
+
+        with jax.default_matmul_precision("highest"):
+            g0 = jax.grad(loss_ref, (0, 1))(xs, k)
+            g1 = jax.grad(loss_ours, (0, 1))(xs, k)
+        for a, b_ in zip(g1, g0):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b_), atol=5e-4)
+
+    def test_convblock_train_dispatch_matches_xla(self, monkeypatch):
+        """ConvBlock-level: forced psconv in TRAIN mode (raw conv + bias +
+        train-BN + ReLU epilogue) matches the XLA path in value AND grads,
+        including batch_stats updates."""
+        from mingraph_unet_tpu.models.unet import ConvBlock
+        from mingraph_unet_tpu.ops.pallas import psconv
+
+        monkeypatch.setattr(psconv, "_INTERPRET", True)
+        rng = np.random.default_rng(4)
+        x = jnp.asarray(rng.standard_normal((2, 8, 8, 128)), jnp.float32)  # cin=32
+        mk = lambda use: ConvBlock(32, True, jnp.float32, s2d=True, use_psconv=use)
+        variables = mk(False).init(jax.random.key(0), x)
+        params = variables["params"]
+        stats = variables["batch_stats"]
+
+        def loss(params, x, use):
+            out, upd = mk(use).apply(
+                {"params": params, "batch_stats": stats}, x, train=True,
+                mutable=["batch_stats"],
+            )
+            return jnp.sum(out**2), upd["batch_stats"]
+
+        with jax.default_matmul_precision("highest"):
+            (v0, bs0), g0 = jax.value_and_grad(loss, has_aux=True)(params, x, False)
+            (v1, bs1), g1 = jax.value_and_grad(loss, has_aux=True)(params, x, True)
+        np.testing.assert_allclose(float(v1), float(v0), rtol=1e-5)
+        jax.tree.map(
+            lambda a, b_: np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), atol=5e-4
+            ),
+            (g1, bs1), (g0, bs0),
+        )
