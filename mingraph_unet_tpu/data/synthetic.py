@@ -38,16 +38,25 @@ import numpy as np
 __all__ = ["render_orchard_scene", "generate_orchard_split", "generate_orchard_dataset"]
 
 
-def _lighting_field(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
-    """Low-frequency multiplicative lighting (sun-dappled canopy), (H, W, 1)."""
+def _lighting_field(
+    rng: np.random.Generator, h: int, w: int, strength: float = 1.0
+) -> np.ndarray:
+    """Low-frequency multiplicative lighting (sun-dappled canopy), (H, W, 1).
+
+    ``strength`` scales the gradient amplitude around 1.0 (strength=1
+    reproduces the r3 defaults exactly; the hard regime of the graph-branch
+    value study uses ~1.6, VERDICT r3 #2)."""
     import cv2
 
-    coarse = rng.uniform(0.65, 1.25, size=(max(2, h // 32), max(2, w // 32)))
+    s = strength
+    coarse = rng.uniform(1.0 - 0.35 * s, 1.0 + 0.25 * s, size=(max(2, h // 32), max(2, w // 32)))
     field = cv2.resize(coarse.astype(np.float32), (w, h), interpolation=cv2.INTER_CUBIC)
-    return np.clip(field, 0.5, 1.4)[..., None]
+    return np.clip(field, max(0.15, 1.0 - 0.5 * s), 1.0 + 0.4 * s)[..., None]
 
 
-def _foliage_background(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
+def _foliage_background(
+    rng: np.random.Generator, h: int, w: int, lighting_strength: float = 1.0
+) -> np.ndarray:
     """Leaf-clutter background, uint8 BGR."""
     import cv2
 
@@ -81,8 +90,38 @@ def _foliage_background(rng: np.random.Generator, h: int, w: int) -> np.ndarray:
         )
         cv2.ellipse(img, c, ax, ang, 0, 360, col, -1)
 
-    img *= _lighting_field(rng, h, w)
+    img *= _lighting_field(rng, h, w, lighting_strength)
     return np.clip(img, 0, 255).astype(np.uint8)
+
+
+def _draw_clutter(rng: np.random.Generator, img: np.ndarray, n: int) -> None:
+    """Fruit-COLORED distractor blobs (dead leaves / sun-lit bark): mango-like
+    hues but elongated ragged shapes (axis ratio 0.2-0.45 vs fruit 0.68-0.88),
+    NOT in the semantic mask. Color alone stops separating the classes —
+    the hard-regime knob that punishes a pure color segmenter."""
+    import cv2
+
+    h, w = img.shape[:2]
+    scale = min(h, w)
+    for _ in range(n):
+        c = (int(rng.integers(0, w)), int(rng.integers(0, h)))
+        a = int(rng.integers(max(4, scale // 22), max(6, scale // 10)))
+        b = max(1, int(a * rng.uniform(0.2, 0.45)))
+        ang = float(rng.uniform(0, 180))
+        t = rng.uniform(0.2, 1.0)
+        unripe = np.array([55, 170, 150], np.float32)
+        ripe = np.array([25, 135, 235], np.float32)
+        col = unripe * (1 - t) + ripe * t + rng.normal(0, 15, 3)
+        col = tuple(float(np.clip(v, 0, 255)) for v in col)
+        cv2.ellipse(img, c, (a, b), ang, 0, 360, col, -1)
+        # Ragged edge: a couple of darker nicks along the blob.
+        for _ in range(2):
+            nc = (
+                int(np.clip(c[0] + rng.integers(-a, a + 1), 0, w - 1)),
+                int(np.clip(c[1] + rng.integers(-b, b + 1), 0, h - 1)),
+            )
+            dark = tuple(v * 0.55 for v in col)
+            cv2.ellipse(img, nc, (max(1, a // 3), max(1, b // 2)), ang, 0, 360, dark, -1)
 
 
 def _draw_fruit(
@@ -132,6 +171,9 @@ def render_orchard_scene(
     min_fruits: int = 2,
     max_fruits: int = 9,
     occlusion_prob: float = 0.3,
+    lighting_strength: float = 1.0,
+    clutter: float = 0.0,
+    label_noise: float = 0.0,
 ) -> Tuple[np.ndarray, np.ndarray, List[Dict]]:
     """Render one scene.
 
@@ -139,10 +181,22 @@ def render_orchard_scene(
     instance dict carries ``poly`` ((P, 2) float array, amodal ellipse
     outline), ``bbox`` (xywh), and ``occluded`` (bool, leaf drawn over it).
     The semantic mask marks **visible** fruit pixels.
+
+    Hard-regime knobs (defaults reproduce r3 exactly; VERDICT r3 #2):
+    ``lighting_strength`` scales the canopy lighting gradients;
+    ``clutter`` is the expected number of fruit-colored distractor blobs
+    per scene (Poisson), never in the mask; ``label_noise`` simulates
+    annotation noise in the SEMANTIC mask ONLY (train splits): each fruit
+    is dropped from the mask with prob ``0.5·label_noise`` (missed
+    annotation), and with prob ``label_noise`` the whole mask is eroded or
+    dilated 1-2 px (sloppy boundaries). Instance annotations (boxes/polys)
+    stay correct — eval splits must be generated with label_noise=0.
     """
     import cv2
 
-    img = _foliage_background(rng, h, w)
+    img = _foliage_background(rng, h, w, lighting_strength)
+    if clutter > 0:
+        _draw_clutter(rng, img, int(rng.poisson(clutter)))
     n = int(rng.integers(min_fruits, max_fruits + 1))
 
     visible = np.zeros((h, w), np.uint8)  # running visible-fruit mask
@@ -198,7 +252,16 @@ def render_orchard_scene(
                 inst["occluded"] = True
 
     for pm in per_fruit_masks:
+        if label_noise > 0 and rng.uniform() < 0.5 * label_noise:
+            continue  # missed annotation: fruit absent from the semantic mask
         visible |= pm
+    if label_noise > 0 and rng.uniform() < label_noise:
+        k = int(rng.integers(1, 3))
+        kernel = np.ones((2 * k + 1, 2 * k + 1), np.uint8)
+        if rng.uniform() < 0.5:
+            visible = cv2.erode(visible, kernel)
+        else:
+            visible = cv2.dilate(visible, kernel)
 
     # Final sensor noise.
     img = np.clip(
@@ -215,9 +278,12 @@ def generate_orchard_split(
     min_fruits: int = 2,
     max_fruits: int = 9,
     occlusion_prob: float = 0.3,
+    **scene_kwargs,
 ) -> str:
     """Write ``images/``, ``masks/`` and ``annotations.json`` under
-    ``split_dir``.  Returns the annotation-file path."""
+    ``split_dir``.  Returns the annotation-file path.  Extra kwargs go to
+    :func:`render_orchard_scene` (hard-regime knobs; pass ``label_noise``
+    to TRAIN splits only)."""
     import cv2
 
     from mingraph_unet_tpu.data.annotations import write_coco_json
@@ -233,7 +299,7 @@ def generate_orchard_split(
     ann_id = 1
     for i in range(num_images):
         img, mask, instances = render_orchard_scene(
-            rng, h, w, min_fruits, max_fruits, occlusion_prob
+            rng, h, w, min_fruits, max_fruits, occlusion_prob, **scene_kwargs
         )
         name = f"img_{i:05d}.png"
         cv2.imwrite(os.path.join(img_dir, name), img)
@@ -264,12 +330,15 @@ def generate_orchard_dataset(
     num_test: int = 200,
     image_size: Tuple[int, int] = (128, 128),
     seed: int = 0,
+    train_only_kwargs: Optional[Dict] = None,
     **scene_kwargs,
 ) -> Dict[str, str]:
     """Standard train/val/test layout (``configs/dataset.yaml`` dirs).
 
     Returns ``{split: annotation_file}``.  Splits use disjoint seeds so no
-    scene repeats across splits.
+    scene repeats across splits.  ``train_only_kwargs`` merge into the
+    train split's scene kwargs only (e.g. ``{"label_noise": 0.35}`` —
+    annotation noise belongs in training data, never in eval GT).
     """
     out = {}
     for split, count, s in (
@@ -279,7 +348,10 @@ def generate_orchard_dataset(
     ):
         if count <= 0:
             continue
+        kw = dict(scene_kwargs)
+        if split == "train" and train_only_kwargs:
+            kw.update(train_only_kwargs)
         out[split] = generate_orchard_split(
-            os.path.join(data_root, split), count, image_size, s, **scene_kwargs
+            os.path.join(data_root, split), count, image_size, s, **kw
         )
     return out

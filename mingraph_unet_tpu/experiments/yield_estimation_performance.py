@@ -19,7 +19,7 @@ from typing import Any, Dict, List, Optional, Tuple
 import numpy as np
 
 from mingraph_unet_tpu.config import PipelineConfig
-from mingraph_unet_tpu.experiments.metrics import yield_estimation_metrics
+from mingraph_unet_tpu.experiments.metrics import average_precision, yield_estimation_metrics
 
 __all__ = [
     "DummyYieldDataset",
@@ -289,6 +289,10 @@ def evaluate_yield_model(
         gt_objs.append(objects)
         pred_objs.append(dets)
     results = yield_estimation_metrics(gt_counts, pred_counts, gt_objs, pred_objs)
+    # Proper AP@0.5 over confidence-ranked detections (the reference's mAP is
+    # a self-described placeholder, metrics.py:71-140; VERDICT r3 #8 asked for
+    # this column in Table 2).
+    results["ap50_perc"] = 100.0 * average_precision(gt_objs, pred_objs, 0.5)
     print("\n--- Yield Estimation Performance ---")
     for k, v in results.items():
         print(f"  {k}: {v:.3f}")

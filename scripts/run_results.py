@@ -39,9 +39,10 @@ from mingraph_unet_tpu.experiments.ablation_study import ABLATION_VARIANTS, VARI
 
 def write_config_dir(cfg_dir, data_root, image_size, *, epochs, batch_size,
                      ckpt_dir, log_dir, use_dense=False, ablation=None,
-                     lr=1e-3, lr_step, lr_gamma=0.3, scan_window=8,
+                     losses=None, lr=1e-3, lr_step, lr_gamma=0.3, scan_window=8,
                      annotations=True, seed=0):
-    """Write a 4-file config dir for one training run."""
+    """Write a 4-file config dir for one training run. ``losses`` overrides
+    L_total weight fields (λ sweeps, seg-only warmup phases — VERDICT r3 #2)."""
     import yaml
 
     from mingraph_unet_tpu.config import PipelineConfig, _tuples_to_lists
@@ -60,6 +61,10 @@ def write_config_dir(cfg_dir, data_root, image_size, *, epochs, batch_size,
     if ablation:
         cfg.model = dataclasses.replace(
             cfg.model, ablation=dataclasses.replace(cfg.model.ablation, **ablation)
+        )
+    if losses:
+        cfg.model = dataclasses.replace(
+            cfg.model, losses=dataclasses.replace(cfg.model.losses, **losses)
         )
     cfg.training = dataclasses.replace(
         cfg.training,
@@ -349,15 +354,16 @@ def _render_markdown(results, curve_png):
         "",
         "## Table 2 — yield estimation (test split)",
         "",
-        "| Detector | Count acc. (%) | Yield err. (%) | Obj. matching (%) | Occlusion robustness (%) |",
-        "|---|---|---|---|---|",
+        "| Detector | Count acc. (%) | Yield err. (%) | Obj. matching (%) | Occlusion robustness (%) | AP@0.5 (%) |",
+        "|---|---|---|---|---|---|",
     ]
     for name, r in results["table2_yield"].items():
         lines.append(
             f"| {name} | {fmt_pct(r.get('count_accuracy_perc'))} | "
             f"{fmt_pct(r.get('yield_estimation_error_perc'))} | "
             f"{fmt_pct(r.get('object_matching_rate_perc'))} | "
-            f"{fmt_pct(r.get('occlusion_robustness_perc'))} |"
+            f"{fmt_pct(r.get('occlusion_robustness_perc'))} | "
+            f"{fmt_pct(r.get('ap50_perc'))} |"
         )
     lines += [
         "",

@@ -1,0 +1,294 @@
+#!/usr/bin/env python
+"""Graph-branch value study (VERDICT r3 #2): does the graph branch earn its
+FLOPs — and if not, why?
+
+Round-3 finding: on the easy synthetic set the full MinGraph-UNet LOSES to
+its own U-Net baseline on segmentation (mIoU 0.9721 vs 0.9965) and barely
+ties on counting. Structural diagnosis to test: the pipeline's segmentation
+logits come purely from the U-Net (``models/pipeline.py`` stage 1 — the
+reference wires it the same way), so the graph branch can influence
+segmentation ONLY through shared-encoder gradients of the six extra losses
+(multi-task interference), while its features reach DETECTION directly via
+fusion. Hypotheses:
+
+H1 (regime): on an easy dataset the extra losses are pure interference; a
+   hard regime (fruit-colored clutter, strong lighting gradients, heavy
+   occlusion, train-label noise) gives the graph losses signal to add.
+H2 (weighting): the raw feature-consistency loss is ~25× the CE term, so
+   λ_feature=0.1 makes it the dominant gradient — sweep it down.
+H3 (schedule): two-phase training (CE(+detection)-only warmup → joint)
+   protects early segmentation learning from noisy graph-loss gradients.
+H4 (mechanism): graph features help where they're actually consumed — the
+   (dense) detection head. Ablating fusion OFF under the SAME dense head
+   isolates the graph branch's contribution to counting.
+
+Protocol: one hard-regime dataset (train-only label noise; eval GT clean),
+all models trained with identical budgets and evaluated with the
+reference-exact metrics on the test split (Table 1 mango IoU / mIoU,
+Table 2 counting + AP@0.5). Every trained row is reported — no selection.
+Writes ``outputs/VALUE_STUDY.md`` + ``value_study.json``.
+
+Run: python scripts/run_value_study.py --out runs/value_study
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from run_results import write_config_dir  # noqa: E402
+
+HARD_SCENE = dict(
+    occlusion_prob=0.75,
+    max_fruits=12,
+    min_fruits=3,
+    lighting_strength=1.6,
+    clutter=5.0,
+)
+HARD_TRAIN_ONLY = dict(label_noise=0.35)
+
+ZERO_GRAPH_LOSSES = dict(
+    l_shape_weight=0.0, l_feature_weight=0.0,
+    l_partition_weight=0.0, l_smooth_weight=0.0,
+)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--out", default="runs/value_study")
+    ap.add_argument("--num_train", type=int, default=1000)
+    ap.add_argument("--num_val", type=int, default=150)
+    ap.add_argument("--num_test", type=int, default=200)
+    ap.add_argument("--image_size", type=int, default=128)
+    ap.add_argument("--batch_size", type=int, default=16)
+    ap.add_argument("--epochs", type=int, default=18)
+    ap.add_argument("--warmup_epochs", type=int, default=8)
+    ap.add_argument("--eval_images", type=int, default=200)
+    ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--results_dir", default="outputs")
+    args = ap.parse_args()
+
+    if args.quick:
+        args.num_train, args.num_val, args.num_test = 12, 4, 6
+        args.image_size, args.batch_size = 64, 2
+        args.epochs, args.warmup_epochs, args.eval_images = 2, 1, 4
+
+    from mingraph_unet_tpu.utils.env import setup_host
+
+    setup_host(force_cpu=args.cpu)
+
+    from mingraph_unet_tpu.data.synthetic import generate_orchard_dataset
+    from mingraph_unet_tpu.experiments.segmentation_performance import (
+        evaluate_segmentation_model,
+    )
+    from mingraph_unet_tpu.experiments.yield_estimation_performance import (
+        evaluate_yield_model,
+    )
+    from mingraph_unet_tpu.train.end_to_end import train_end_to_end
+    from mingraph_unet_tpu.train.segmentation import train_unet_segmentation
+
+    out_root = os.path.abspath(args.out)
+    data_root = os.path.join(out_root, "data")
+    size = (args.image_size, args.image_size)
+    t0 = time.time()
+
+    # --- hard-regime dataset (train-only label noise) ---
+    marker = os.path.join(data_root, ".complete")
+    if not os.path.exists(marker):
+        print(f"[study] generating HARD orchard dataset under {data_root} ...")
+        generate_orchard_dataset(
+            data_root, args.num_train, args.num_val, args.num_test, size,
+            train_only_kwargs=HARD_TRAIN_ONLY, **HARD_SCENE,
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+
+    common = dict(
+        data_root=data_root, image_size=size, batch_size=args.batch_size,
+        lr_step=max(1, args.epochs // 2),
+    )
+
+    def cfg_for(slug, *, epochs, **kw):
+        root = os.path.join(out_root, slug)
+        return write_config_dir(
+            os.path.join(root, "configs"), epochs=epochs,
+            ckpt_dir=os.path.join(root, "checkpoints"),
+            log_dir=os.path.join(root, "logs"), **common, **kw,
+        ), os.path.join(root, "checkpoints")
+
+    runs = {}  # slug -> (cfg_dir, ckpt_dir, model_type_for_eval)
+
+    # 1. U-Net baseline (CE + dice only — the row to beat).
+    cfg, ck = cfg_for("unet", epochs=args.epochs, annotations=False)
+    print("\n[study] === U-Net baseline (hard regime) ===")
+    train_unet_segmentation(cfg)
+    runs["unet"] = (cfg, ck, "unet")
+
+    # 2. Full method, reference-default λ.
+    cfg, ck = cfg_for("full_default", epochs=args.epochs, use_dense=True)
+    print("\n[study] === full MinGraph-UNet, default λ ===")
+    train_end_to_end(cfg)
+    runs["full_default"] = (cfg, ck, "mingraph-unet")
+
+    # 3. Two-phase: seg(+detection)-only warmup, then joint at default λ.
+    #    Phase A writes λ=0 configs into the SAME checkpoint dir; phase B
+    #    resumes from A's last epoch with the real λ (resume=True default).
+    slug = "full_twophase"
+    root = os.path.join(out_root, slug)
+    ckpt_dir = os.path.join(root, "checkpoints")
+    cfg_a = write_config_dir(
+        os.path.join(root, "configs_warmup"), epochs=args.warmup_epochs,
+        ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
+        use_dense=True, losses=ZERO_GRAPH_LOSSES, **common,
+    )
+    print("\n[study] === two-phase: warmup (graph losses off) ===")
+    train_end_to_end(cfg_a)
+    cfg_b = write_config_dir(
+        os.path.join(root, "configs"), epochs=args.epochs,
+        ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
+        use_dense=True, **common,
+    )
+    print("[study] === two-phase: joint (resumes warmup checkpoint) ===")
+    train_end_to_end(cfg_b)
+    runs[slug] = (cfg_b, ckpt_dir, "mingraph-unet")
+
+    # 4. λ_feature sweep (H2): the raw L_feature is ~25× CE at init.
+    for lam in (0.01, 0.0):
+        slug = f"full_lfeat_{lam:g}"
+        cfg, ck = cfg_for(
+            slug, epochs=args.epochs, use_dense=True,
+            losses=dict(l_feature_weight=lam),
+        )
+        print(f"\n[study] === full method, λ_feature={lam} ===")
+        train_end_to_end(cfg)
+        runs[slug] = (cfg, ck, "mingraph-unet")
+
+    # 5. Attribution control: same L_total, graph stages ablated away
+    #    ("Graph Construction" variant: no GAT, no partition, no region GAT).
+    cfg, ck = cfg_for(
+        "control_nographstages", epochs=args.epochs, use_dense=True,
+        ablation={"use_patch_gat": False, "use_partition": False, "use_region_gat": False},
+    )
+    print("\n[study] === control: graph stages ablated, same losses ===")
+    train_end_to_end(cfg)
+    runs["control_nographstages"] = (cfg, ck, "mingraph-unet")
+
+    # 6. H4: dense head WITHOUT graph fusion (detection sees F_u only).
+    cfg, ck = cfg_for(
+        "dense_nofusion", epochs=args.epochs, use_dense=True,
+        ablation={"use_fusion": False},
+    )
+    print("\n[study] === dense head without graph fusion ===")
+    train_end_to_end(cfg)
+    runs["dense_nofusion"] = (cfg, ck, "mingraph-unet")
+
+    # --- evaluation: Table 1 + Table 2 per run, test split ---
+    test_img_dir = os.path.join(data_root, "test", "images")
+    test_ann = os.path.join(data_root, "test", "annotations.json")
+    results = {"scene": {**HARD_SCENE, "train_only": HARD_TRAIN_ONLY},
+               "config": vars(args), "rows": {}}
+    for slug, (cfg, ck, mtype) in runs.items():
+        print(f"\n[study] === evaluating {slug} ===")
+        row = {"segmentation": evaluate_segmentation_model(cfg, ck, mtype)}
+        ablation = None
+        if slug == "control_nographstages":
+            ablation = {"use_patch_gat": False, "use_partition": False,
+                        "use_region_gat": False}
+        if slug == "dense_nofusion":
+            ablation = {"use_fusion": False}
+        row["cc_counting"] = evaluate_yield_model(
+            cfg, ck, model_type=("unet" if mtype == "unet" else "mingraph-unet"),
+            num_images=args.eval_images, image_dir=test_img_dir,
+            ann_file=test_ann, ablation=ablation,
+        )
+        if mtype != "unet":
+            row["dense_head"] = evaluate_yield_model(
+                cfg, ck, model_type="mingraph-unet-dense",
+                num_images=args.eval_images, image_dir=test_img_dir,
+                ann_file=test_ann, ablation=ablation,
+            )
+        results["rows"][slug] = row
+    results["wall_clock_sec"] = round(time.time() - t0, 1)
+
+    os.makedirs(args.results_dir, exist_ok=True)
+    jpath = os.path.join(args.results_dir, "value_study.json")
+    with open(jpath, "w") as f:
+        json.dump(results, f, indent=2,
+                  default=lambda o: o.tolist() if hasattr(o, "tolist") else float(o))
+    print(f"[study] wrote {jpath}")
+    mdpath = os.path.join(args.results_dir, "VALUE_STUDY.md")
+    with open(mdpath, "w") as f:
+        f.write(render_markdown(results))
+    print(f"[study] wrote {mdpath}")
+    return results
+
+
+def seg_cells(row):
+    seg = row["segmentation"]
+    iou = seg.get("iou_per_class", [float("nan")] * 2)
+    mango = iou[1] if len(iou) > 1 else float("nan")
+    return f"{seg.get('mean_iou', float('nan')):.4f} | {mango:.4f}"
+
+
+def yield_cells(r):
+    if not r:
+        return "— | — | —"
+    return (f"{r.get('count_accuracy_perc', float('nan')):.2f} | "
+            f"{r.get('yield_estimation_error_perc', float('nan')):.2f} | "
+            f"{r.get('ap50_perc', float('nan')):.2f}")
+
+
+LABELS = {
+    "unet": "U-Net baseline (CE+dice only)",
+    "full_default": "Full method, default λ",
+    "full_twophase": "Full method, two-phase (seg warmup → joint)",
+    "full_lfeat_0.01": "Full method, λ_feature=0.01",
+    "full_lfeat_0": "Full method, λ_feature=0",
+    "control_nographstages": "Control: graph stages OFF, same L_total",
+    "dense_nofusion": "Full method, fusion OFF (dense head sees F_u only)",
+}
+
+
+def render_markdown(results):
+    cfg = results["config"]
+    lines = [
+        "# VALUE STUDY — does the graph branch earn its FLOPs?",
+        "",
+        "Hard synthetic regime (fruit-colored clutter, lighting gradients ×1.6, "
+        "75 % leaf occlusion, 3-12 fruits, **train-only label noise 0.35** — eval "
+        f"GT clean), {cfg['num_train']} train / {cfg['num_test']} test at "
+        f"{cfg['image_size']}², every model {cfg['epochs']} epochs batch "
+        f"{cfg['batch_size']} (two-phase: {cfg['warmup_epochs']} warmup + joint). "
+        "All rows reported — no selection. Metrics are the reference's exactly.",
+        "",
+        "| Model | mIoU | Mango IoU | CC count acc. (%) | CC yield err. (%) | CC AP@0.5 (%) |",
+        "|---|---|---|---|---|---|",
+    ]
+    for slug, row in results["rows"].items():
+        lines.append(
+            f"| {LABELS.get(slug, slug)} | {seg_cells(row)} | "
+            f"{yield_cells(row.get('cc_counting'))} |"
+        )
+    lines += [
+        "",
+        "## Dense-head counting (the fusion-attribution pair)",
+        "",
+        "| Model | Count acc. (%) | Yield err. (%) | AP@0.5 (%) |",
+        "|---|---|---|---|",
+    ]
+    for slug, row in results["rows"].items():
+        if "dense_head" in row:
+            lines.append(f"| {LABELS.get(slug, slug)} | {yield_cells(row['dense_head'])} |")
+    lines += ["", f"Total wall clock: {results['wall_clock_sec']} s.", ""]
+    return "\n".join(lines)
+
+
+if __name__ == "__main__":
+    main()
