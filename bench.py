@@ -103,7 +103,11 @@ def measure_tpu(batch=BATCH, size=SIZE):
     from mingraph_unet_tpu.models.pipeline import MinGraphUNet
     from mingraph_unet_tpu.models.unet import UNet
 
-    model = MinGraphUNet(dtype=jnp.bfloat16, detection_pre_pool=32)
+    # MG_S2D_LEVEL1=1 flips the r4 level-1 s2d lowering on for an A/B
+    # (exact reparameterization; default off until measured — ROADMAP).
+    level1 = os.environ.get("MG_S2D_LEVEL1", "0") == "1"
+    model = MinGraphUNet(dtype=jnp.bfloat16, detection_pre_pool=32,
+                         unet_s2d_level1=level1)
     x = jnp.zeros((batch, size, size, 3), jnp.float32)
     return _measure_pipeline(model, x, batch, with_stages=True)
 

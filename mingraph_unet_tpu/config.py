@@ -176,6 +176,9 @@ class UNetConfig:
     # Space-to-depth lowering of the full-resolution levels (exact
     # reparameterization, ~2× faster at 512² on v5e; ops/s2d.py).
     s2d_level0: bool = True
+    # Extend s2d one level down (256-lane convs at encoder block1 / decoder
+    # i=1). Exact reparameterization; r4, default off pending the TPU A/B.
+    s2d_level1: bool = False
 
     def validate(self) -> None:
         if self.depth < 1:

@@ -67,6 +67,8 @@ class MinGraphUNet(nn.Module):
     # reparameterization, ~2× faster at 512² on v5e; ops/s2d.py). Same param
     # tree either way — checkpoints are interchangeable.
     unet_s2d_level0: bool = True
+    # Level-1 s2d extension (r4; default off pending the TPU A/B, ROADMAP).
+    unet_s2d_level1: bool = False
     # Graph construction
     patch_size: int = 16
     unet_patch_feature_dim: int = 16
@@ -151,6 +153,7 @@ class MinGraphUNet(nn.Module):
                 dtype=self.dtype,
                 remat=self.remat,
                 s2d_level0=self.unet_s2d_level0,
+                s2d_level1=self.unet_s2d_level1,
                 return_s2d_extras=True,
                 name="unet",
             )(images, train=train)

@@ -27,7 +27,7 @@ epilogues (verified against a hand-written Pallas fusion in
 
 from __future__ import annotations
 
-from typing import Any, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Optional, Sequence, Tuple
 
 import flax.linen as nn
 import jax
@@ -298,8 +298,10 @@ class ConvBlock(nn.Module):
                 if (
                     not train
                     and self._psconv_on(b, hh, ww)
-                    and 4 * skip_c == 128
-                    and 4 * self.features == 128
+                    # 128 = level-0 (32ch) sites; 256 = level-1 (64ch, r4,
+                    # gated off by default via UNet.s2d_level1).
+                    and 4 * skip_c in (128, 256)
+                    and 4 * self.features in (128, 256)
                 ):
                     # Whole conv1 in one fused Pallas call: skip term via
                     # the phase-select matmuls, x_prev term via tap-pair-
@@ -352,8 +354,8 @@ class ConvBlock(nn.Module):
                 not train
                 and self._psconv_on(b, hh, ww)
                 and len(groups) == 1
-                and 4 * cin == 128
-                and 4 * self.features == 128
+                and 4 * cin in (128, 256)
+                and 4 * self.features in (128, 256)
             ):
                 # Phase-select Pallas kernel: 4 dense lane-select matmuls
                 # (16/9× useful FLOPs) with bias+ReLU fused in the epilogue.
@@ -373,8 +375,8 @@ class ConvBlock(nn.Module):
                 train
                 and self._psconv_train_on(b, hh, ww)
                 and len(groups) == 1
-                and 4 * cin == 128
-                and 4 * self.features == 128
+                and 4 * cin in (128, 256)
+                and 4 * self.features in (128, 256)
             ):
                 # Training through the phase-select kernel (custom_vjp:
                 # adjoint-kernel psel for dx, operand-einsum for dK — both
@@ -440,40 +442,52 @@ class UNetEncoder(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     s2d_level0: bool = False
+    # Also run stage 1 (the 2nd-largest conv level) in s2d layout: conv1 via
+    # the windowed lowering from the pooled full-res input (no explicit
+    # relayout), conv2 as a 256-lane s2d conv (psconv-eligible). r4; default
+    # off until the TPU A/B lands (ROADMAP).
+    s2d_level1: bool = False
 
     @nn.compact
     def __call__(
         self, x: jnp.ndarray, train: bool = False
-    ) -> Tuple[List[jnp.ndarray], jnp.ndarray, Optional[jnp.ndarray]]:
+    ) -> Tuple[List[jnp.ndarray], jnp.ndarray, Dict[str, Optional[jnp.ndarray]]]:
         block_cls = _conv_block_cls(self.remat)
         skips: List[jnp.ndarray] = []
         features = self.init_features
-        skip0_s2d = None
+        s2d_skips: Dict[str, Optional[jnp.ndarray]] = {"skip0_s2d": None, "skip1_s2d": None}
         use_s2d = self.s2d_level0 and x.shape[1] % 2 == 0 and x.shape[2] % 2 == 0
+        use_s2d1 = (
+            self.s2d_level1
+            and self.depth >= 2
+            and (x.shape[1] // 2) % 2 == 0
+            and (x.shape[2] // 2) % 2 == 0
+        )
         for i in range(self.depth):
-            if i == 0 and use_s2d:
+            if (i == 0 and use_s2d) or (i == 1 and use_s2d1):
                 # Full-res input straight into the block: conv1 uses the
-                # windowed lowering, so the image never pays an explicit
+                # windowed lowering, so the level never pays an explicit
                 # space_to_depth relayout (~0.9 ms at 512² b8 on v5e).
-                skip0_s2d = block_cls(
+                skip_s2d = block_cls(
                     features,
                     self.use_batchnorm,
                     self.dtype,
                     True,  # s2d
                     (),
                     True,  # s2d_in_full_res
-                    name="block0",
+                    name=f"block{i}",
                 )(x.astype(self.dtype), train)
-                skips.append(s2d_ops.depth_to_space(skip0_s2d))
+                s2d_skips[f"skip{i}_s2d"] = skip_s2d
+                skips.append(s2d_ops.depth_to_space(skip_s2d))
                 # MaxPool(2,2) == channelwise max over the phase block.
-                x = s2d_ops.phase_max_pool(skip0_s2d)
+                x = s2d_ops.phase_max_pool(skip_s2d)
             else:
                 x = block_cls(features, self.use_batchnorm, self.dtype, name=f"block{i}")(x, train)
                 skips.append(x)
                 x = _max_pool_2x2(x)
             features *= 2
         bottleneck = block_cls(features, self.use_batchnorm, self.dtype, name="bottleneck")(x, train)
-        return skips, bottleneck, skip0_s2d
+        return skips, bottleneck, s2d_skips
 
 
 class DecoderBlock(nn.Module):
@@ -566,6 +580,9 @@ class UNetDecoder(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     s2d_level0: bool = False
+    # Run the level-1 (2nd-largest) DecoderBlock in s2d layout too (r4;
+    # default off until the TPU A/B lands — see UNetEncoder.s2d_level1).
+    s2d_level1: bool = False
 
     @nn.compact
     def __call__(
@@ -574,9 +591,10 @@ class UNetDecoder(nn.Module):
         bottleneck: jnp.ndarray,
         train: bool = False,
         skip0_s2d: Optional[jnp.ndarray] = None,
-    ) -> Tuple[jnp.ndarray, List[jnp.ndarray], Optional[jnp.ndarray]]:
+        skip1_s2d: Optional[jnp.ndarray] = None,
+    ) -> Tuple[jnp.ndarray, List[jnp.ndarray], Dict[str, Optional[jnp.ndarray]]]:
         x = bottleneck
-        f_u0_s2d: Optional[jnp.ndarray] = None
+        s2d_feats: Dict[str, Optional[jnp.ndarray]] = {"f_u0_s2d": None, "f_u1_s2d": None}
         feats_deep_to_shallow: List[jnp.ndarray] = []
         prev_channels = self.init_features * (2**self.depth)
         for j, i in enumerate(reversed(range(self.depth))):
@@ -587,13 +605,20 @@ class UNetDecoder(nn.Module):
                 and skips[0].shape[1] == 2 * x.shape[1]
                 and skips[0].shape[2] == 2 * x.shape[2]
             )
-            if use_s2d:
+            use_s2d1 = (
+                self.s2d_level1
+                and i == 1
+                and skips[1].shape[1] == 2 * x.shape[1]
+                and skips[1].shape[2] == 2 * x.shape[2]
+                and skips[1].shape[1] % 2 == 0
+                and skips[1].shape[2] % 2 == 0
+            )
+            if use_s2d or use_s2d1:
+                given = skip0_s2d if i == 0 else skip1_s2d
                 skip_s2d = (
-                    skip0_s2d
-                    if skip0_s2d is not None
-                    else s2d_ops.space_to_depth(skips[0])
+                    given if given is not None else s2d_ops.space_to_depth(skips[i])
                 )
-                f_u0_s2d = DecoderBlock(
+                f_s2d = DecoderBlock(
                     out_features=out_ch,
                     up_features=prev_channels // 2,
                     use_batchnorm=self.use_batchnorm,
@@ -602,7 +627,8 @@ class UNetDecoder(nn.Module):
                     s2d=True,
                     name=f"block{j}",
                 )(x, skip_s2d, train)
-                x = s2d_ops.depth_to_space(f_u0_s2d)
+                s2d_feats[f"f_u{i}_s2d"] = f_s2d
+                x = s2d_ops.depth_to_space(f_s2d)
             else:
                 x = DecoderBlock(
                     out_features=out_ch,
@@ -614,6 +640,7 @@ class UNetDecoder(nn.Module):
                 )(x, skips[i], train)
             feats_deep_to_shallow.append(x)
             prev_channels = out_ch
+        f_u0_s2d = s2d_feats["f_u0_s2d"]
         if f_u0_s2d is not None:
             # Final 1×1 conv applied in s2d layout (block-diagonal per-phase
             # matmul — the identical multiply-adds), so the depth-to-space
@@ -633,7 +660,7 @@ class UNetDecoder(nn.Module):
                 self.num_classes, kernel_size=(1, 1), dtype=self.dtype, name="final_conv"
             )(x)
         # F_u ordered shallow→deep (unet_decoder.py:143-149).
-        return logits.astype(jnp.float32), feats_deep_to_shallow[::-1], f_u0_s2d
+        return logits.astype(jnp.float32), feats_deep_to_shallow[::-1], s2d_feats
 
 
 class UNet(nn.Module):
@@ -654,23 +681,30 @@ class UNet(nn.Module):
     dtype: Dtype = jnp.float32
     remat: bool = False
     s2d_level0: bool = False
-    # Additionally return {"skip0_s2d", "f_u0_s2d"} (s2d-layout full-res
-    # tensors, or None off the s2d path) as a 4th element. Consumers that
-    # pool/fuse from the s2d forms leave the full-res skips[0]/f_u[0]
-    # relayouts dead for XLA to eliminate.
+    # Extend the s2d lowering one level down (encoder block1 + decoder
+    # block at i=1, 256-lane convs). Exact reparameterization like level 0;
+    # r4, default off until the TPU A/B lands (ROADMAP).
+    s2d_level1: bool = False
+    # Additionally return {"skip0_s2d", "f_u0_s2d", "skip1_s2d", "f_u1_s2d"}
+    # (s2d-layout tensors, or None off the s2d path) as a 4th element.
+    # Consumers that pool/fuse from the s2d forms leave the full-res
+    # skips[0]/f_u[0] relayouts dead for XLA to eliminate.
     return_s2d_extras: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         x = x.astype(self.dtype)
-        skips, bottleneck, skip0_s2d = UNetEncoder(
+        skips, bottleneck, s2d_skips = UNetEncoder(
             self.init_features, self.depth, self.use_batchnorm, self.dtype, self.remat,
-            self.s2d_level0, name="encoder"
+            self.s2d_level0, self.s2d_level1, name="encoder"
         )(x, train)
-        logits, f_u, f_u0_s2d = UNetDecoder(
+        logits, f_u, s2d_feats = UNetDecoder(
             self.num_classes, self.init_features, self.depth, self.use_batchnorm, self.dtype,
-            self.remat, self.s2d_level0, name="decoder"
-        )(skips, bottleneck, train, skip0_s2d=skip0_s2d)
+            self.remat, self.s2d_level0, self.s2d_level1, name="decoder"
+        )(
+            skips, bottleneck, train,
+            skip0_s2d=s2d_skips["skip0_s2d"], skip1_s2d=s2d_skips["skip1_s2d"],
+        )
         if self.return_s2d_extras:
-            return logits, skips, f_u, {"skip0_s2d": skip0_s2d, "f_u0_s2d": f_u0_s2d}
+            return logits, skips, f_u, {**s2d_skips, **s2d_feats}
         return logits, skips, f_u

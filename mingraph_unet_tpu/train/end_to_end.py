@@ -60,6 +60,7 @@ def build_mingraph_unet(cfg: PipelineConfig, dtype=None) -> MinGraphUNet:
         use_batchnorm=m.unet.use_batchnorm,
         remat=m.unet.remat,
         unet_s2d_level0=m.unet.s2d_level0,
+        unet_s2d_level1=m.unet.s2d_level1,
         patch_size=m.graph_construction.patch_size,
         unet_patch_feature_dim=m.graph_construction.unet_patch_feature_dim,
         sobel_kernel_size=cfg.preprocessing.sobel_kernel_size,

@@ -113,6 +113,10 @@ def main():
     common = dict(
         data_root=data_root, image_size=size, batch_size=args.batch_size,
         lr_step=max(1, args.epochs // 2),
+        # Scan-windowing exists to amortize TPU relay dispatch; on CPU the
+        # window-8 multistep's XLA compile alone runs tens of minutes on
+        # this 1-core box (measured r4) while steps see no benefit.
+        scan_window=1 if args.cpu else 8,
     )
 
     def cfg_for(slug, *, epochs, **kw):

@@ -317,3 +317,90 @@ class TestUNetS2DParity:
         ref = std.apply(v, x)[0]
         out = fast.apply(v, x)[0]
         np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-5)
+
+
+class TestUNetS2DLevel1Parity:
+    """UNet(s2d_level0=True, s2d_level1=True) — the r4 one-level-down
+    extension (256-lane convs) — is the same exact reparameterization:
+    identical param tree, matching outputs/grads, odd-size fallback."""
+
+    def _models(self, **kw):
+        from mingraph_unet_tpu.models.unet import UNet
+
+        return (
+            UNet(init_features=8, depth=3, **kw),
+            UNet(init_features=8, depth=3, s2d_level0=True, s2d_level1=True, **kw),
+        )
+
+    def test_param_tree_and_forward_parity(self):
+        std, fast = self._models()
+        x = jnp.asarray(rng(20).standard_normal((2, 32, 32, 3)), jnp.float32)
+        v = std.init(jax.random.key(0), x)
+        v2 = fast.init(jax.random.key(0), x)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
+        ref_logits, ref_skips, ref_fu = std.apply(v, x)
+        out_logits, out_skips, out_fu = fast.apply(v, x)
+        np.testing.assert_allclose(np.asarray(out_logits), np.asarray(ref_logits), atol=2e-5)
+        for a, b in zip(ref_skips + ref_fu, out_skips + out_fu):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=2e-5)
+
+    def test_extras_present_and_consistent(self):
+        from mingraph_unet_tpu.models.unet import UNet
+        from mingraph_unet_tpu.ops import s2d
+
+        fast = UNet(init_features=8, depth=3, s2d_level0=True, s2d_level1=True,
+                    return_s2d_extras=True)
+        x = jnp.asarray(rng(21).standard_normal((1, 32, 32, 3)), jnp.float32)
+        v = fast.init(jax.random.key(0), x)
+        logits, skips, f_u, extras = fast.apply(v, x)
+        for lvl in (0, 1):
+            sk = extras[f"skip{lvl}_s2d"]
+            fu = extras[f"f_u{lvl}_s2d"]
+            assert sk is not None and fu is not None
+            np.testing.assert_allclose(
+                np.asarray(s2d.depth_to_space(sk)), np.asarray(skips[lvl]), atol=1e-5
+            )
+            np.testing.assert_allclose(
+                np.asarray(s2d.depth_to_space(fu)), np.asarray(f_u[lvl]), atol=1e-5
+            )
+
+    def test_train_and_grad_parity(self):
+        std, fast = self._models()
+        x = jnp.asarray(rng(22).standard_normal((2, 16, 16, 3)), jnp.float32)
+        v = std.init(jax.random.key(0), x)
+
+        def loss(model, params):
+            out, _ = model.apply(
+                {"params": params, "batch_stats": v["batch_stats"]},
+                x, train=True, mutable=["batch_stats"],
+            )
+            return (out[0] ** 2).mean()
+
+        g_std = jax.grad(lambda p: loss(std, p))(v["params"])
+        g_fast = jax.grad(lambda p: loss(fast, p))(v["params"])
+        for (p, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g_std),
+            jax.tree_util.tree_leaves_with_path(g_fast),
+        ):
+            np.testing.assert_allclose(np.asarray(b), np.asarray(a), atol=3e-5, err_msg=str(p))
+
+    def test_odd_size_falls_back(self):
+        std, fast = self._models()
+        x = jnp.asarray(rng(23).standard_normal((1, 17, 17, 3)), jnp.float32)
+        v = std.init(jax.random.key(0), x)
+        np.testing.assert_allclose(
+            np.asarray(fast.apply(v, x)[0]), np.asarray(std.apply(v, x)[0]), atol=2e-5
+        )
+
+    def test_pipeline_level1_matches_default(self):
+        """MinGraphUNet(unet_s2d_level1=True) ≡ default pipeline outputs."""
+        from mingraph_unet_tpu.models.pipeline import MinGraphUNet
+
+        x = jnp.asarray(rng(24).standard_normal((1, 32, 32, 3)), jnp.float32)
+        base = MinGraphUNet(init_features=8, depth=2, patch_size=16)
+        lvl1 = MinGraphUNet(init_features=8, depth=2, patch_size=16, unet_s2d_level1=True)
+        v = base.init(jax.random.key(0), x)
+        a = base.apply(v, x, train=False)
+        b = lvl1.apply(v, x, train=False)
+        for k in ("logits", "pred_bboxes", "pred_confidence", "l_partition"):
+            np.testing.assert_allclose(np.asarray(b[k]), np.asarray(a[k]), atol=3e-5, err_msg=k)
