@@ -20,7 +20,7 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
-__all__ = ["halo_exchange_rows", "sharded_conv2d_same"]
+__all__ = ["halo_exchange_rows", "sharded_conv2d_same", "sharded_psconv"]
 
 
 def halo_exchange_rows(x_local: jnp.ndarray, halo: int, axis_name: str = "spatial") -> jnp.ndarray:
@@ -74,3 +74,58 @@ def sharded_conv2d_same(
     x_sh = jax.device_put(x, NamedSharding(mesh, P(None, axis_name, None, None)))
     with mesh:
         return jax.jit(fn)(x_sh, kernel)
+
+
+def _batch_axes(mesh: Mesh):
+    axes = tuple(a for a in ("dcn", "data") if int(mesh.shape.get(a, 1)) > 1)
+    return axes if axes else None
+
+
+def sharded_psconv(
+    x_s2d: jnp.ndarray,
+    kmats: jnp.ndarray,
+    bias_s2d: jnp.ndarray,
+    mesh: Mesh,
+    axis_name: str = "spatial",
+    relu: bool = True,
+    interpret: bool = False,
+    lane_masks: jnp.ndarray | None = None,
+) -> jnp.ndarray:
+    """Phase-select s2d conv with the s2d H axis sharded (VERDICT r3 #5's
+    shard_map half; the batch-dim half is the kernels' own
+    custom_partitioning rule).
+
+    Each shard ppermutes ONE s2d boundary row to each neighbor
+    (:func:`halo_exchange_rows`, zero-filled at the global borders — the
+    kernel's 'SAME' semantics), runs the Pallas kernel on the halo-extended
+    block, and keeps the interior rows: extended-output row r reads extended
+    rows r−1..r+1, so rows 1..h_local are exactly the unsharded conv. The
+    batch dim additionally shards over (dcn, data) with no extra
+    communication (the conv is per-image). Validated equal to the unsharded
+    kernel on a virtual mesh (tests/test_parallel.py).
+    """
+    from mingraph_unet_tpu.ops.pallas.psconv import _psel_compute, psconv_lane_masks
+
+    if lane_masks is None:
+        lane_masks = psconv_lane_masks(x_s2d.shape[-1] // 4)
+    spec = P(_batch_axes(mesh), axis_name, None, None)
+
+    def local(x_local, km, bv, lm):
+        xh = halo_exchange_rows(x_local, 1, axis_name)
+        # The unpartitioned kernel body (custom_partitioning is for the
+        # auto-sharded jit path; inside shard_map the axes are manual).
+        y = _psel_compute(xh, km, bv, lm, relu=relu, interpret=interpret)
+        return y[:, 1:-1]
+
+    fn = shard_map(
+        local,
+        mesh=mesh,
+        in_specs=(spec, P(), P(), P()),
+        out_specs=spec,
+        # pallas_call's out_shape carries no varying-mesh-axes annotation, so
+        # the vma checker cannot see the kernel output varies per shard.
+        check_vma=False,
+    )
+    x_sh = jax.device_put(x_s2d, NamedSharding(mesh, spec))
+    with mesh:
+        return jax.jit(fn)(x_sh, kmats, bias_s2d, lane_masks)

@@ -174,9 +174,13 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
                 # prior on real GT instance masks (shape_loss.py:150-180).
                 l_shape = losses.elliptical_shape_loss(aug_inst.astype(jnp.float32))
             else:
-                # Soft-mask moments: ∂L_shape/∂probs exists, so λ1 actually
-                # trains (round-1 used the hard-argmax form, gradient-free).
-                l_shape = losses.elliptical_shape_loss_soft(probs)
+                # Soft-mask moments with a stop-gradient CC instance
+                # decomposition (r4): the ellipse prior applies per
+                # predicted blob instead of to the union of all fruit,
+                # while ∂L_shape/∂probs still exists.
+                l_shape = losses.elliptical_shape_loss_soft_instances(
+                    probs, max_instances=max_instances
+                )
             l_smooth = losses.total_variation_loss(probs[..., 1:2])
 
             total = (

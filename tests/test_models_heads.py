@@ -300,3 +300,76 @@ class TestSoftShapeLoss:
             logits = step(logits)
         l1 = float(loss_fn(logits))
         assert l1 < l0 * 0.9, (l0, l1)
+
+
+class TestSoftInstanceShapeLoss:
+    """elliptical_shape_loss_soft_instances (r4): the ellipse prior applies
+    per predicted blob — two clean ellipses score near zero where the
+    union-form soft loss (one ellipse fit to both) scores high — and the
+    gradient still flows through the softmax."""
+
+    def _two_ellipse_probs(self, sharp=True):
+        import cv2
+
+        m = np.zeros((64, 64), np.uint8)
+        cv2.ellipse(m, (16, 20), (9, 6), 20, 0, 360, 1, -1)
+        cv2.ellipse(m, (46, 44), (8, 5), 120, 0, 360, 1, -1)
+        p1 = m.astype(np.float32) * (0.98 if sharp else 0.7) + 0.01
+        probs = np.stack([1 - p1, p1], axis=-1)
+        return jnp.asarray(probs)[None]
+
+    def test_per_blob_shape_discrimination(self):
+        """Each blob is judged on its OWN shape: two clean ellipses score
+        like one clean ellipse (the loss's floor for a filled ellipse is
+        ~2.3, not 0 — it is shape-discriminative, not absolute), and two
+        squares score like one square (higher). The union form instead fits
+        one covariance to the joint mass, so its gradient couples the blobs."""
+        import cv2
+
+        from mingraph_unet_tpu.models import losses
+
+        probs_e = self._two_ellipse_probs()
+        two_sq = np.zeros((64, 64), np.float32)
+        two_sq[10:26, 10:26] = 1
+        two_sq[40:60, 38:58] = 1
+        probs_s = jnp.asarray(np.stack([1 - two_sq, two_sq], -1))[None]
+        one = np.zeros((64, 64), np.uint8)
+        cv2.ellipse(one, (32, 32), (12, 8), 0, 0, 360, 1, -1)
+        single_e = float(
+            losses.elliptical_shape_loss(jnp.asarray(one, jnp.float32)[None, None])
+        )
+        per_inst_e = float(losses.elliptical_shape_loss_soft_instances(probs_e))
+        per_inst_s = float(losses.elliptical_shape_loss_soft_instances(probs_s))
+        assert abs(per_inst_e - single_e) < 0.15 * single_e, (per_inst_e, single_e)
+        assert per_inst_s > per_inst_e + 0.15, (per_inst_s, per_inst_e)
+
+    def test_gradient_flows(self):
+        from mingraph_unet_tpu.models import losses
+
+        probs = self._two_ellipse_probs(sharp=False)
+        logits = jnp.log(jnp.clip(probs, 1e-4, 1.0))
+
+        def f(lg):
+            return losses.elliptical_shape_loss_soft_instances(
+                jax.nn.softmax(lg, axis=-1)
+            )
+
+        g = jax.grad(f)(logits)
+        assert np.isfinite(np.asarray(g)).all()
+        assert float(jnp.abs(g).max()) > 0.0
+
+    def test_single_blob_matches_union_form(self):
+        import cv2
+
+        from mingraph_unet_tpu.models import losses
+
+        m = np.zeros((48, 48), np.uint8)
+        cv2.ellipse(m, (24, 24), (12, 8), 0, 0, 360, 1, -1)
+        p1 = m.astype(np.float32) * 0.95 + 0.02
+        probs = jnp.asarray(np.stack([1 - p1, p1], -1))[None]
+        a = float(losses.elliptical_shape_loss_soft_instances(probs))
+        b = float(losses.elliptical_shape_loss_soft(probs))
+        # One component: per-instance decomposition ~= union form (the tiny
+        # difference is the off-component probability mass the union form
+        # includes and the decomposition masks away).
+        assert abs(a - b) < 0.25 * max(b, 1e-3), (a, b)

@@ -291,3 +291,32 @@ class TestRealisticScaleSharding:
             sharded = run(make_mesh(2, 2, dcn_parallel=2))
         for k in ref:
             np.testing.assert_allclose(sharded[k], ref[k], rtol=3e-4, atol=1e-5, err_msg=k)
+
+
+class TestShardedPsconv:
+    """H-sharded phase-select conv (halo ppermute + per-shard Pallas kernel)
+    equals the unsharded kernel — the spatial half of the psconv SPMD story
+    (VERDICT r3 #5)."""
+
+    @pytest.mark.parametrize("mesh_shape", [(1, 4), (2, 2), (1, 8)])
+    def test_matches_unsharded(self, mesh_shape):
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas.psconv import conv3x3_s2d_psel, psconv_weights
+        from mingraph_unet_tpu.parallel.halo import sharded_psconv
+        from mingraph_unet_tpu.parallel.mesh import make_mesh
+
+        data, spatial = mesh_shape
+        r = np.random.default_rng(0)
+        cin = cout = 8
+        x = jnp.asarray(r.standard_normal((4, 32, 8, cin)), jnp.float32)
+        k = jnp.asarray(r.standard_normal((3, 3, cin, cout)) * 0.2, jnp.float32)
+        bias = jnp.asarray(r.standard_normal(cout), jnp.float32)
+        xs = s2d.space_to_depth(x)  # (4, 16, 4, 32): hh=16 divides all spatial sizes
+        km = psconv_weights(k)
+        bv = s2d.s2d_vector(bias)
+        with jax.default_matmul_precision("highest"):
+            ref = conv3x3_s2d_psel(xs, km, bv, relu=True, interpret=True)
+            got = sharded_psconv(
+                xs, km, bv, make_mesh(data, spatial), relu=True, interpret=True
+            )
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=5e-5)
