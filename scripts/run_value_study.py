@@ -127,86 +127,28 @@ def main():
             log_dir=os.path.join(root, "logs"), **common, **kw,
         ), os.path.join(root, "checkpoints")
 
-    runs = {}  # slug -> (cfg_dir, ckpt_dir, model_type_for_eval)
-
-    # 1. U-Net baseline (CE + dice only — the row to beat).
-    cfg, ck = cfg_for("unet", epochs=args.epochs, annotations=False)
-    print("\n[study] === U-Net baseline (hard regime) ===")
-    train_unet_segmentation(cfg)
-    runs["unet"] = (cfg, ck, "unet")
-
-    # 2. Full method, reference-default λ.
-    cfg, ck = cfg_for("full_default", epochs=args.epochs, use_dense=True)
-    print("\n[study] === full MinGraph-UNet, default λ ===")
-    train_end_to_end(cfg)
-    runs["full_default"] = (cfg, ck, "mingraph-unet")
-
-    # 3. Two-phase: seg(+detection)-only warmup, then joint at default λ.
-    #    Phase A writes λ=0 configs into the SAME checkpoint dir; phase B
-    #    resumes from A's last epoch with the real λ (resume=True default).
-    slug = "full_twophase"
-    root = os.path.join(out_root, slug)
-    ckpt_dir = os.path.join(root, "checkpoints")
-    cfg_a = write_config_dir(
-        os.path.join(root, "configs_warmup"), epochs=args.warmup_epochs,
-        ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
-        use_dense=True, losses=ZERO_GRAPH_LOSSES, **common,
-    )
-    print("\n[study] === two-phase: warmup (graph losses off) ===")
-    train_end_to_end(cfg_a)
-    cfg_b = write_config_dir(
-        os.path.join(root, "configs"), epochs=args.epochs,
-        ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
-        use_dense=True, **common,
-    )
-    print("[study] === two-phase: joint (resumes warmup checkpoint) ===")
-    train_end_to_end(cfg_b)
-    runs[slug] = (cfg_b, ckpt_dir, "mingraph-unet")
-
-    # 4. λ_feature sweep (H2): the raw L_feature is ~25× CE at init.
-    for lam in (0.01, 0.0):
-        slug = f"full_lfeat_{lam:g}"
-        cfg, ck = cfg_for(
-            slug, epochs=args.epochs, use_dense=True,
-            losses=dict(l_feature_weight=lam),
-        )
-        print(f"\n[study] === full method, λ_feature={lam} ===")
-        train_end_to_end(cfg)
-        runs[slug] = (cfg, ck, "mingraph-unet")
-
-    # 5. Attribution control: same L_total, graph stages ablated away
-    #    ("Graph Construction" variant: no GAT, no partition, no region GAT).
-    cfg, ck = cfg_for(
-        "control_nographstages", epochs=args.epochs, use_dense=True,
-        ablation={"use_patch_gat": False, "use_partition": False, "use_region_gat": False},
-    )
-    print("\n[study] === control: graph stages ablated, same losses ===")
-    train_end_to_end(cfg)
-    runs["control_nographstages"] = (cfg, ck, "mingraph-unet")
-
-    # 6. H4: dense head WITHOUT graph fusion (detection sees F_u only).
-    cfg, ck = cfg_for(
-        "dense_nofusion", epochs=args.epochs, use_dense=True,
-        ablation={"use_fusion": False},
-    )
-    print("\n[study] === dense head without graph fusion ===")
-    train_end_to_end(cfg)
-    runs["dense_nofusion"] = (cfg, ck, "mingraph-unet")
-
-    # --- evaluation: Table 1 + Table 2 per run, test split ---
+    # --- incremental results: each arm is trained, evaluated, and flushed
+    # to disk immediately (a 1-core CPU study runs for hours; an
+    # interruption must leave every completed row on disk, not zero rows).
     test_img_dir = os.path.join(data_root, "test", "images")
     test_ann = os.path.join(data_root, "test", "annotations.json")
     results = {"scene": {**HARD_SCENE, "train_only": HARD_TRAIN_ONLY},
                "config": vars(args), "rows": {}}
-    for slug, (cfg, ck, mtype) in runs.items():
+    os.makedirs(args.results_dir, exist_ok=True)
+
+    def flush():
+        results["wall_clock_sec"] = round(time.time() - t0, 1)
+        jpath = os.path.join(args.results_dir, "value_study.json")
+        with open(jpath, "w") as f:
+            json.dump(results, f, indent=2,
+                      default=lambda o: o.tolist() if hasattr(o, "tolist") else float(o))
+        with open(os.path.join(args.results_dir, "VALUE_STUDY.md"), "w") as f:
+            f.write(render_markdown(results))
+        print(f"[study] flushed {len(results['rows'])} rows -> {jpath}")
+
+    def evaluate(slug, cfg, ck, mtype, ablation=None):
         print(f"\n[study] === evaluating {slug} ===")
         row = {"segmentation": evaluate_segmentation_model(cfg, ck, mtype)}
-        ablation = None
-        if slug == "control_nographstages":
-            ablation = {"use_patch_gat": False, "use_partition": False,
-                        "use_region_gat": False}
-        if slug == "dense_nofusion":
-            ablation = {"use_fusion": False}
         row["cc_counting"] = evaluate_yield_model(
             cfg, ck, model_type=("unet" if mtype == "unet" else "mingraph-unet"),
             num_images=args.eval_images, image_dir=test_img_dir,
@@ -219,18 +161,88 @@ def main():
                 ann_file=test_ann, ablation=ablation,
             )
         results["rows"][slug] = row
-    results["wall_clock_sec"] = round(time.time() - t0, 1)
+        flush()
 
-    os.makedirs(args.results_dir, exist_ok=True)
-    jpath = os.path.join(args.results_dir, "value_study.json")
-    with open(jpath, "w") as f:
-        json.dump(results, f, indent=2,
-                  default=lambda o: o.tolist() if hasattr(o, "tolist") else float(o))
-    print(f"[study] wrote {jpath}")
-    mdpath = os.path.join(args.results_dir, "VALUE_STUDY.md")
-    with open(mdpath, "w") as f:
-        f.write(render_markdown(results))
-    print(f"[study] wrote {mdpath}")
+    def train_twophase():
+        # Two-phase: seg(+detection)-only warmup, then joint at default λ.
+        # Phase A writes λ=0 configs into the SAME checkpoint dir; phase B
+        # resumes from A's last epoch with the real λ (resume=True default).
+        root = os.path.join(out_root, "full_twophase")
+        ckpt_dir = os.path.join(root, "checkpoints")
+        cfg_a = write_config_dir(
+            os.path.join(root, "configs_warmup"), epochs=args.warmup_epochs,
+            ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
+            use_dense=True, losses=ZERO_GRAPH_LOSSES, **common,
+        )
+        print("\n[study] === two-phase: warmup (graph losses off) ===")
+        train_end_to_end(cfg_a)
+        cfg_b = write_config_dir(
+            os.path.join(root, "configs"), epochs=args.epochs,
+            ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
+            use_dense=True, **common,
+        )
+        print("[study] === two-phase: joint (resumes warmup checkpoint) ===")
+        train_end_to_end(cfg_b)
+        return cfg_b, ckpt_dir
+
+    NO_GRAPH_STAGES = {"use_patch_gat": False, "use_partition": False,
+                       "use_region_gat": False}
+    NO_FUSION = {"use_fusion": False}
+
+    # Arms in importance order (an interrupted study keeps the rows that
+    # carry the headline comparison): baseline → full method → the schedule
+    # most likely to fix it → the two attribution controls → the λ sweep.
+    def arm_unet():
+        cfg, ck = cfg_for("unet", epochs=args.epochs, annotations=False)
+        print("\n[study] === U-Net baseline (hard regime) ===")
+        train_unet_segmentation(cfg)
+        return cfg, ck
+
+    def arm_full_default():
+        cfg, ck = cfg_for("full_default", epochs=args.epochs, use_dense=True)
+        print("\n[study] === full MinGraph-UNet, default λ ===")
+        train_end_to_end(cfg)
+        return cfg, ck
+
+    def make_e2e_arm(slug, label, **kw):
+        def run():
+            cfg, ck = cfg_for(slug, epochs=args.epochs, use_dense=True, **kw)
+            print(f"\n[study] === {label} ===")
+            train_end_to_end(cfg)
+            return cfg, ck
+        return run
+
+    arms = [
+        ("unet", arm_unet, "unet", None),
+        ("full_default", arm_full_default, "mingraph-unet", None),
+        ("full_twophase", train_twophase, "mingraph-unet", None),
+        ("dense_nofusion",
+         make_e2e_arm("dense_nofusion", "dense head without graph fusion",
+                      ablation=NO_FUSION),
+         "mingraph-unet", NO_FUSION),
+        ("control_nographstages",
+         make_e2e_arm("control_nographstages",
+                      "control: graph stages ablated, same losses",
+                      ablation=NO_GRAPH_STAGES),
+         "mingraph-unet", NO_GRAPH_STAGES),
+        ("full_lfeat_0.01",
+         make_e2e_arm("full_lfeat_0.01", "full method, λ_feature=0.01",
+                      losses=dict(l_feature_weight=0.01)),
+         "mingraph-unet", None),
+        ("full_lfeat_0",
+         make_e2e_arm("full_lfeat_0", "full method, λ_feature=0",
+                      losses=dict(l_feature_weight=0.0)),
+         "mingraph-unet", None),
+    ]
+    for slug, train_fn, mtype, ablation in arms:
+        try:
+            cfg, ck = train_fn()
+            evaluate(slug, cfg, ck, mtype, ablation)
+        except Exception as e:  # one broken arm must not kill the study
+            import traceback
+            traceback.print_exc()
+            results["rows"][slug] = {"error": f"{type(e).__name__}: {e}"}
+            flush()
     return results
 
 
@@ -276,6 +288,9 @@ def render_markdown(results):
         "|---|---|---|---|---|---|",
     ]
     for slug, row in results["rows"].items():
+        if "error" in row:
+            lines.append(f"| {LABELS.get(slug, slug)} | failed: {row['error']} |||||")
+            continue
         lines.append(
             f"| {LABELS.get(slug, slug)} | {seg_cells(row)} | "
             f"{yield_cells(row.get('cc_counting'))} |"
