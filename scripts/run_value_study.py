@@ -72,6 +72,12 @@ def main():
     ap.add_argument("--eval_images", type=int, default=200)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--eval_only", action="store_true",
+        help="never train: evaluate every arm that already has a config dir "
+        "and a checkpoint, then exit (checkpoint-of-record for a study whose "
+        "training runs elsewhere/earlier)",
+    )
     ap.add_argument("--results_dir", default="outputs")
     args = ap.parse_args()
 
@@ -236,7 +242,14 @@ def main():
     ]
     for slug, train_fn, mtype, ablation in arms:
         try:
-            cfg, ck = train_fn()
+            if args.eval_only:
+                cfg = os.path.join(out_root, slug, "configs")
+                ck = os.path.join(out_root, slug, "checkpoints")
+                if not (os.path.isdir(cfg) and os.path.isdir(ck) and os.listdir(ck)):
+                    print(f"[study] eval_only: no checkpoint for {slug}, skipping")
+                    continue
+            else:
+                cfg, ck = train_fn()
             evaluate(slug, cfg, ck, mtype, ablation)
         except Exception as e:  # one broken arm must not kill the study
             import traceback
