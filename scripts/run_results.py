@@ -39,10 +39,13 @@ from mingraph_unet_tpu.experiments.ablation_study import ABLATION_VARIANTS, VARI
 
 def write_config_dir(cfg_dir, data_root, image_size, *, epochs, batch_size,
                      ckpt_dir, log_dir, use_dense=False, ablation=None,
-                     losses=None, lr=1e-3, lr_step, lr_gamma=0.3, scan_window=8,
-                     annotations=True, seed=0):
+                     losses=None, patch_size=None, lr=1e-3, lr_step,
+                     lr_gamma=0.3, scan_window=8, annotations=True, seed=0):
     """Write a 4-file config dir for one training run. ``losses`` overrides
-    L_total weight fields (λ sweeps, seg-only warmup phases — VERDICT r3 #2)."""
+    L_total weight fields (λ sweeps, seg-only warmup phases — VERDICT r3 #2);
+    ``patch_size`` overrides the graph node granularity (at 64² the default
+    16-px patches leave a 4×4 grid whose GT patch labels y_p=(fg frac>0.5)
+    are all-zero for fruit-sized objects — the graph losses degenerate)."""
     import yaml
 
     from mingraph_unet_tpu.config import PipelineConfig, _tuples_to_lists
@@ -54,6 +57,10 @@ def write_config_dir(cfg_dir, data_root, image_size, *, epochs, batch_size,
         annotations_file="annotations.json" if annotations else None,
     )
     cfg.preprocessing = dataclasses.replace(cfg.preprocessing, resize_dim=(h, w))
+    if patch_size is not None:
+        cfg.model.graph_construction = dataclasses.replace(
+            cfg.model.graph_construction, patch_size=patch_size
+        )
     if use_dense:
         cfg.model.fusion_detection = dataclasses.replace(
             cfg.model.fusion_detection, use_dense_detection=True

@@ -44,14 +44,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 from run_results import write_config_dir  # noqa: E402
 
+# Regime calibration (r4): the first regime (occlusion 0.75, clutter 5,
+# lighting 1.6, label_noise 0.35, 64²) collapsed EVERY arm to all-background
+# (mango IoU 0.0000 across the board — committed in the 2026-08-18 study
+# run), which tests nothing. Moderated until a 16-epoch U-Net pilot
+# trains-but-degrades (mango IoU well off the easy-regime 0.99): this is
+# the regime below. Eval GT stays clean (label noise is train-only).
 HARD_SCENE = dict(
-    occlusion_prob=0.75,
-    max_fruits=12,
-    min_fruits=3,
-    lighting_strength=1.6,
-    clutter=5.0,
+    occlusion_prob=0.5,
+    max_fruits=7,
+    min_fruits=2,
+    lighting_strength=1.4,
+    clutter=3.0,
 )
-HARD_TRAIN_ONLY = dict(label_noise=0.35)
+HARD_TRAIN_ONLY = dict(label_noise=0.25)
 
 ZERO_GRAPH_LOSSES = dict(
     l_shape_weight=0.0, l_feature_weight=0.0,
@@ -62,13 +68,18 @@ ZERO_GRAPH_LOSSES = dict(
 def main():
     ap = argparse.ArgumentParser(description=__doc__)
     ap.add_argument("--out", default="runs/value_study")
-    ap.add_argument("--num_train", type=int, default=1000)
-    ap.add_argument("--num_val", type=int, default=150)
+    ap.add_argument("--num_train", type=int, default=320)
+    ap.add_argument("--num_val", type=int, default=40)
     ap.add_argument("--num_test", type=int, default=200)
-    ap.add_argument("--image_size", type=int, default=128)
+    ap.add_argument("--image_size", type=int, default=64)
     ap.add_argument("--batch_size", type=int, default=16)
-    ap.add_argument("--epochs", type=int, default=18)
+    ap.add_argument("--epochs", type=int, default=16)
     ap.add_argument("--warmup_epochs", type=int, default=8)
+    # At 64² the reference-default 16-px patches give a 4×4 graph whose GT
+    # patch labels y_p=(fg frac>0.5) are ALL ZERO for fruit-sized objects —
+    # the feature-consistency loss degenerates and the graph branch cannot
+    # possibly help. 8-px patches restore fruit-scale graph nodes (8×8 grid).
+    ap.add_argument("--patch_size", type=int, default=8)
     ap.add_argument("--eval_images", type=int, default=200)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -118,6 +129,7 @@ def main():
 
     common = dict(
         data_root=data_root, image_size=size, batch_size=args.batch_size,
+        patch_size=args.patch_size,
         lr_step=max(1, args.epochs // 2),
         # Scan-windowing exists to amortize TPU relay dispatch; on CPU the
         # window-8 multistep's XLA compile alone runs tens of minutes on
@@ -287,15 +299,23 @@ LABELS = {
 
 def render_markdown(results):
     cfg = results["config"]
+    sc = results.get("scene", {})
+    noise = sc.get("train_only", {}).get("label_noise", 0)
     lines = [
         "# VALUE STUDY — does the graph branch earn its FLOPs?",
         "",
-        "Hard synthetic regime (fruit-colored clutter, lighting gradients ×1.6, "
-        "75 % leaf occlusion, 3-12 fruits, **train-only label noise 0.35** — eval "
+        "Hard synthetic regime (fruit-colored clutter ×"
+        f"{sc.get('clutter', '?')}, lighting gradients ×"
+        f"{sc.get('lighting_strength', '?')}, "
+        f"{100 * sc.get('occlusion_prob', 0):.0f} % leaf occlusion, "
+        f"{sc.get('min_fruits', '?')}-{sc.get('max_fruits', '?')} fruits, "
+        f"**train-only label noise {noise}** — eval "
         f"GT clean), {cfg['num_train']} train / {cfg['num_test']} test at "
-        f"{cfg['image_size']}², every model {cfg['epochs']} epochs batch "
-        f"{cfg['batch_size']} (two-phase: {cfg['warmup_epochs']} warmup + joint). "
-        "All rows reported — no selection. Metrics are the reference's exactly.",
+        f"{cfg['image_size']}², graph patch size "
+        f"{cfg.get('patch_size', 16)} px, every model {cfg['epochs']} epochs "
+        f"batch {cfg['batch_size']} (two-phase: {cfg['warmup_epochs']} warmup "
+        "+ joint). All rows reported — no selection. Metrics are the "
+        "reference's exactly.",
         "",
         "| Model | mIoU | Mango IoU | CC count acc. (%) | CC yield err. (%) | CC AP@0.5 (%) |",
         "|---|---|---|---|---|---|",
@@ -318,7 +338,24 @@ def render_markdown(results):
     for slug, row in results["rows"].items():
         if "dense_head" in row:
             lines.append(f"| {LABELS.get(slug, slug)} | {yield_cells(row['dense_head'])} |")
-    lines += ["", f"Total wall clock: {results['wall_clock_sec']} s.", ""]
+    lines += [
+        "",
+        "## Regime calibration (reported for honesty)",
+        "",
+        "The first regime attempted (occlusion 0.75, clutter 5, lighting ×1.6, "
+        "train label noise 0.35, 64², 16-px patches) collapsed EVERY arm — "
+        "baseline and full method alike — to all-background (mango IoU 0.0000): "
+        "too hard to discriminate anything, so it tests nothing. Two "
+        "calibration pilots later, the regime above is the hardest tried where "
+        "the plain U-Net still trains (its mango IoU is well below the easy "
+        "regime's 0.99 — the degradation H1 needs). Patch size is 8 px here "
+        "because at 64² the reference-default 16-px patches leave a 4×4 graph "
+        "whose GT patch labels y_p=(foreground fraction>0.5) are all zero for "
+        "fruit-sized objects — the feature-consistency loss degenerates and "
+        "the graph branch cannot possibly help at any λ.",
+        "",
+        f"Total wall clock: {results['wall_clock_sec']} s.", "",
+    ]
     return "\n".join(lines)
 
 
