@@ -68,9 +68,44 @@ def evaluate_segmentation_model(
         def forward(variables, imgs):
             return model.apply(variables, imgs, train=False)["logits"]
 
+    elif model_type in ("mingraph-unet-refined", "mingraph_unet_refined"):
+        # Graph-refined segmentation: the architecture's stated mechanism
+        # ("MinCut refines GAT partitions", reference README + the demo at
+        # graph_refinement.py:76-111) applied at eval time with the TRAINED
+        # partition. Every pixel's logits are blended with the mean logits
+        # of its MinCut region: refined = (1-γ)·logits + γ·region_mean.
+        # If regions track objects, occlusion-suppressed fruit pixels are
+        # pulled up by their region's evidence and isolated clutter false
+        # positives are pulled down — the graph touching segmentation
+        # DIRECTLY rather than only through shared-encoder gradients.
+        model = build_mingraph_unet(cfg)
+        patch = cfg.model.graph_construction.patch_size
+        num_regions = cfg.dataset.num_semantic_regions
+        gamma = 0.5
+
+        def forward(variables, imgs):
+            out = model.apply(variables, imgs, train=False)
+            logits = out["logits"].astype(jnp.float32)  # (B, H, W, C)
+            regions = out["hard_patch_labels"]  # (B, nph, npw)
+            bsz, hh, ww, nc = logits.shape
+            # Patch labels → pixel region ids (nearest / block upsample).
+            pix_regions = jnp.repeat(
+                jnp.repeat(regions, patch, axis=1), patch, axis=2
+            )  # (B, H, W)
+            onehot = jax.nn.one_hot(pix_regions, num_regions, dtype=jnp.float32)
+            # Region-mean logits: (B, S, C).
+            sums = jnp.einsum("bhws,bhwc->bsc", onehot, logits)
+            counts = onehot.sum(axis=(1, 2))[..., None]  # (B, S, 1)
+            region_mean = sums / jnp.maximum(counts, 1.0)
+            blended = (1.0 - gamma) * logits + gamma * jnp.einsum(
+                "bhws,bsc->bhwc", onehot, region_mean
+            )
+            return blended
+
     else:
         raise NotImplementedError(
-            f"model_type {model_type!r} is not implemented (choices: unet, mingraph-unet)"
+            f"model_type {model_type!r} is not implemented "
+            "(choices: unet, mingraph-unet, mingraph-unet-refined)"
         )
 
     variables = load_variables(weights_path)

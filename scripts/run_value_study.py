@@ -167,6 +167,13 @@ def main():
     def evaluate(slug, cfg, ck, mtype, ablation=None):
         print(f"\n[study] === evaluating {slug} ===")
         row = {"segmentation": evaluate_segmentation_model(cfg, ck, mtype)}
+        if mtype != "unet" and (ablation or {}).get("use_partition", True):
+            # The graph branch touching segmentation DIRECTLY (eval-time
+            # region-mean logit blending over the trained MinCut partition)
+            # instead of only via shared-encoder gradients.
+            row["segmentation_refined"] = evaluate_segmentation_model(
+                cfg, ck, "mingraph-unet-refined"
+            )
         row["cc_counting"] = evaluate_yield_model(
             cfg, ck, model_type=("unet" if mtype == "unet" else "mingraph-unet"),
             num_images=args.eval_images, image_dir=test_img_dir,
@@ -328,6 +335,11 @@ def render_markdown(results):
             f"| {LABELS.get(slug, slug)} | {seg_cells(row)} | "
             f"{yield_cells(row.get('cc_counting'))} |"
         )
+        if "segmentation_refined" in row:
+            lines.append(
+                f"| &nbsp;&nbsp;↳ + graph-refined eval (region-mean logit blend) | "
+                f"{seg_cells({'segmentation': row['segmentation_refined']})} | — | — | — |"
+            )
     lines += [
         "",
         "## Dense-head counting (the fusion-attribution pair)",
