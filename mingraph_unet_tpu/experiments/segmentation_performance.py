@@ -23,7 +23,33 @@ from mingraph_unet_tpu.config import PipelineConfig
 from mingraph_unet_tpu.data.dataset import BatchLoader, MangoDataset, device_preprocess_batch
 from mingraph_unet_tpu.experiments.metrics import segmentation_metrics
 
-__all__ = ["evaluate_segmentation_model", "print_table1"]
+__all__ = ["evaluate_segmentation_model", "print_table1", "region_blend_logits"]
+
+
+def region_blend_logits(logits, patch_labels, patch: int, num_regions: int,
+                        gamma: float = 0.5):
+    """Graph-refined segmentation logits: blend each pixel's logits with the
+    mean logits of its (trained) MinCut region.
+
+    ``refined = (1-γ)·logits + γ·region_mean[region(pixel)]`` — the
+    architecture's refinement mechanism (reference README / demo at
+    ``graph_refinement.py:76-111``) applied to segmentation directly at
+    eval time. ``logits`` (B, H, W, C) float; ``patch_labels`` (B, nph,
+    npw) int region ids; ``patch`` the pixel pitch of one patch.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    pix_regions = jnp.repeat(
+        jnp.repeat(patch_labels, patch, axis=1), patch, axis=2
+    )  # (B, H, W)
+    onehot = jax.nn.one_hot(pix_regions, num_regions, dtype=jnp.float32)
+    sums = jnp.einsum("bhws,bhwc->bsc", onehot, logits)
+    counts = onehot.sum(axis=(1, 2))[..., None]  # (B, S, 1)
+    region_mean = sums / jnp.maximum(counts, 1.0)
+    return (1.0 - gamma) * logits + gamma * jnp.einsum(
+        "bhws,bsc->bhwc", onehot, region_mean
+    )
 
 
 def _find_split_dir(cfg: PipelineConfig, data_root: str) -> str:
@@ -81,26 +107,15 @@ def evaluate_segmentation_model(
         model = build_mingraph_unet(cfg)
         patch = cfg.model.graph_construction.patch_size
         num_regions = cfg.dataset.num_semantic_regions
-        gamma = 0.5
 
         def forward(variables, imgs):
             out = model.apply(variables, imgs, train=False)
-            logits = out["logits"].astype(jnp.float32)  # (B, H, W, C)
-            regions = out["hard_patch_labels"]  # (B, nph, npw)
-            bsz, hh, ww, nc = logits.shape
-            # Patch labels → pixel region ids (nearest / block upsample).
-            pix_regions = jnp.repeat(
-                jnp.repeat(regions, patch, axis=1), patch, axis=2
-            )  # (B, H, W)
-            onehot = jax.nn.one_hot(pix_regions, num_regions, dtype=jnp.float32)
-            # Region-mean logits: (B, S, C).
-            sums = jnp.einsum("bhws,bhwc->bsc", onehot, logits)
-            counts = onehot.sum(axis=(1, 2))[..., None]  # (B, S, 1)
-            region_mean = sums / jnp.maximum(counts, 1.0)
-            blended = (1.0 - gamma) * logits + gamma * jnp.einsum(
-                "bhws,bsc->bhwc", onehot, region_mean
+            return region_blend_logits(
+                out["logits"].astype(jnp.float32),
+                out["hard_patch_labels"],
+                patch,
+                num_regions,
             )
-            return blended
 
     else:
         raise NotImplementedError(

@@ -94,3 +94,52 @@ class TestSegmentationPerformance:
         cfg_dir = make_dummy_run(str(tmp_path), num_images=2, image_size=(32, 32))
         with pytest.raises(NotImplementedError):
             evaluate_segmentation_model(cfg_dir, "nope", "yolo")
+
+
+class TestRegionBlendLogits:
+    """Graph-refined segmentation (eval-time region-mean logit blending)."""
+
+    def test_single_region_equals_global_mean_blend(self):
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.experiments.segmentation_performance import (
+            region_blend_logits,
+        )
+
+        rng = np.random.default_rng(0)
+        logits = jnp.asarray(rng.normal(size=(2, 8, 8, 3)).astype(np.float32))
+        labels = jnp.zeros((2, 2, 2), jnp.int32)  # one region everywhere
+        out = region_blend_logits(logits, labels, patch=4, num_regions=4, gamma=0.5)
+        want = 0.5 * logits + 0.5 * logits.mean(axis=(1, 2), keepdims=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(want), atol=1e-5)
+
+    def test_gamma_zero_is_identity(self):
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.experiments.segmentation_performance import (
+            region_blend_logits,
+        )
+
+        rng = np.random.default_rng(1)
+        logits = jnp.asarray(rng.normal(size=(1, 8, 8, 2)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 4, (1, 4, 4)), dtype=jnp.int32)
+        out = region_blend_logits(logits, labels, patch=2, num_regions=4, gamma=0.0)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(logits), atol=1e-6)
+
+    def test_two_regions_blend_separately(self):
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.experiments.segmentation_performance import (
+            region_blend_logits,
+        )
+
+        # Left half region 0 with logits 0, right half region 1 with logits 1:
+        # region means are exact and blending never crosses the boundary.
+        # Patch grid (1, 2) at patch=4 -> pixel grid (4, 8).
+        logits = jnp.concatenate(
+            [jnp.zeros((1, 4, 4, 1)), jnp.ones((1, 4, 4, 1))], axis=2
+        )
+        labels = jnp.asarray([[[0, 1]]], jnp.int32)
+        out = region_blend_logits(logits, labels, patch=4, num_regions=2, gamma=0.7)
+        np.testing.assert_allclose(np.asarray(out[:, :, :4]), 0.0, atol=1e-6)
+        np.testing.assert_allclose(np.asarray(out[:, :, 4:]), 1.0, atol=1e-6)
