@@ -257,6 +257,12 @@ def main():
     table1["mingraph-unet"] = evaluate_segmentation_model(
         cfg_full, os.path.join(out_root, "full", "checkpoints"), "mingraph-unet"
     )
+    # The graph branch touching segmentation directly: eval-time region-mean
+    # logit blending over the trained MinCut partition (same checkpoint).
+    table1["mingraph-unet + graph-refined eval"] = evaluate_segmentation_model(
+        cfg_full, os.path.join(out_root, "full", "checkpoints"),
+        "mingraph-unet-refined",
+    )
     results["table1_segmentation"] = table1
 
     print("\n[results] === Table 2: yield estimation (test split) ===")

@@ -130,7 +130,10 @@ def main():
     common = dict(
         data_root=data_root, image_size=size, batch_size=args.batch_size,
         patch_size=args.patch_size,
-        lr_step=max(1, args.epochs // 2),
+        # Late, gentle decay: the 64² calibration pilots froze all-background
+        # when the 0.3× StepLR decay landed mid-run, before the model broke
+        # the background symmetry on this hard regime.
+        lr_step=max(2, (2 * args.epochs) // 3),
         # Scan-windowing exists to amortize TPU relay dispatch; on CPU the
         # window-8 multistep's XLA compile alone runs tens of minutes on
         # this 1-core box (measured r4) while steps see no benefit.
