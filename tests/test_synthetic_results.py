@@ -120,3 +120,59 @@ class TestMiniResultsRun:
             ann_file=os.path.join(data_root, "test", "annotations.json"),
         )
         assert "count_accuracy_perc" in t2 and "yield_estimation_error_perc" in t2
+
+
+class TestValueStudyMachinery:
+    """Guards for scripts/run_value_study.py (the graph-branch value study)."""
+
+    def _scripts(self):
+        import sys
+
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+
+    def test_write_config_dir_patch_size_roundtrip(self, tmp_path):
+        self._scripts()
+        import run_results
+
+        from mingraph_unet_tpu.config import PipelineConfig
+
+        cfg_dir = run_results.write_config_dir(
+            str(tmp_path / "configs"), str(tmp_path), (96, 96),
+            epochs=1, batch_size=2, lr_step=1, patch_size=8,
+            ckpt_dir=str(tmp_path / "ck"), log_dir=str(tmp_path / "lg"),
+            scan_window=1,
+        )
+        cfg = PipelineConfig.from_config_dir(cfg_dir)
+        assert cfg.model.graph_construction.patch_size == 8
+        assert cfg.preprocessing.resize_dim == (96, 96)
+
+    def test_render_markdown_includes_scene_and_refined_rows(self):
+        self._scripts()
+        import run_value_study as vs
+
+        seg = {"mean_iou": 0.5, "iou_per_class": [0.9, 0.1]}
+        results = {
+            "scene": {"occlusion_prob": 0.5, "clutter": 3.0,
+                      "lighting_strength": 1.4, "min_fruits": 2, "max_fruits": 7,
+                      "train_only": {"label_noise": 0.25}},
+            "config": {"num_train": 320, "num_test": 200, "image_size": 96,
+                       "patch_size": 8, "epochs": 12, "warmup_epochs": 6,
+                       "batch_size": 16},
+            "rows": {
+                "unet": {"segmentation": seg,
+                         "cc_counting": {"count_accuracy_perc": 50.0,
+                                         "yield_estimation_error_perc": 50.0,
+                                         "ap50_perc": 10.0}},
+                "full_default": {"segmentation": seg,
+                                 "segmentation_refined": seg,
+                                 "cc_counting": {}, "dense_head": {}},
+                "broken": {"error": "RuntimeError: boom"},
+            },
+            "wall_clock_sec": 1.0,
+        }
+        md = vs.render_markdown(results)
+        assert "label noise 0.25" in md
+        assert "patch size 8" in md
+        assert "graph-refined eval" in md
+        assert "failed: RuntimeError: boom" in md
+        assert "Regime calibration" in md
