@@ -121,6 +121,25 @@ class SegmentationCountDetector:
             def logits_fn(imgs):
                 return model.apply(variables, imgs, train=False)[0]
 
+        elif model_type in ("mingraph-unet-refined", "mingraph_unet_refined"):
+            # CC instancing over the graph-refined logits (eval-time
+            # region-mean blend over the trained MinCut partition) — the
+            # counting-side counterpart of the Table-1 refined row.
+            from mingraph_unet_tpu.experiments.segmentation_performance import (
+                region_blend_logits,
+            )
+
+            model = build_mingraph_unet(cfg)
+            patch = cfg.model.graph_construction.patch_size
+            nreg = cfg.dataset.num_semantic_regions
+
+            def logits_fn(imgs):
+                out = model.apply(variables, imgs, train=False)
+                return region_blend_logits(
+                    out["logits"].astype(jnp.float32),
+                    out["hard_patch_labels"], patch, nreg,
+                )
+
         else:
             model = build_mingraph_unet(cfg)
 

@@ -177,6 +177,11 @@ def main():
             row["segmentation_refined"] = evaluate_segmentation_model(
                 cfg, ck, "mingraph-unet-refined"
             )
+            row["cc_counting_refined"] = evaluate_yield_model(
+                cfg, ck, model_type="mingraph-unet-refined",
+                num_images=args.eval_images, image_dir=test_img_dir,
+                ann_file=test_ann, ablation=ablation,
+            )
         row["cc_counting"] = evaluate_yield_model(
             cfg, ck, model_type=("unet" if mtype == "unet" else "mingraph-unet"),
             num_images=args.eval_images, image_dir=test_img_dir,
@@ -341,7 +346,8 @@ def render_markdown(results):
         if "segmentation_refined" in row:
             lines.append(
                 f"| &nbsp;&nbsp;↳ + graph-refined eval (region-mean logit blend) | "
-                f"{seg_cells({'segmentation': row['segmentation_refined']})} | — | — | — |"
+                f"{seg_cells({'segmentation': row['segmentation_refined']})} | "
+                f"{yield_cells(row.get('cc_counting_refined'))} |"
             )
     lines += [
         "",
