@@ -367,6 +367,40 @@ def render_markdown(results):
     for slug, row in results["rows"].items():
         if "dense_head" in row:
             lines.append(f"| {LABELS.get(slug, slug)} | {yield_cells(row['dense_head'])} |")
+    base = results["rows"].get("unet", {})
+    if "segmentation" in base:
+        b_iou = (base["segmentation"].get("iou_per_class") or [float("nan")] * 2)[1]
+        b_cnt = (base.get("cc_counting") or {}).get(
+            "count_accuracy_perc", float("nan"))
+        lines += [
+            "",
+            "## Verdict vs the U-Net baseline",
+            "",
+            f"Baseline: mango IoU {b_iou:.4f}, CC count accuracy {b_cnt:.2f} %."
+            " Positive deltas mean the graph machinery ADDS value; the"
+            " refined sub-rows additionally apply the partition at eval time.",
+            "",
+            "| Arm | Δ mango IoU | Δ count acc. (pts) |",
+            "|---|---|---|",
+        ]
+        for slug, row in results["rows"].items():
+            if slug == "unet" or "segmentation" not in row:
+                continue
+            for label_suffix, seg, cnt in (
+                ("", row.get("segmentation"), row.get("cc_counting")),
+                (" + refined eval", row.get("segmentation_refined"),
+                 row.get("cc_counting_refined")),
+            ):
+                if not seg:
+                    continue
+                iou = (seg.get("iou_per_class") or [float("nan")] * 2)[1]
+                cr = (cnt or {}).get("count_accuracy_perc", float("nan"))
+                d_iou, d_cnt = iou - b_iou, cr - b_cnt
+                mark = " **" if (d_iou > 0 or d_cnt > 0) else " "
+                lines.append(
+                    f"| {LABELS.get(slug, slug)}{label_suffix} |{mark}"
+                    f"{d_iou:+.4f}{mark.strip()} | {d_cnt:+.2f} |"
+                )
     lines += [
         "",
         "## Regime calibration (reported for honesty)",

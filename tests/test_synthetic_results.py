@@ -176,3 +176,5 @@ class TestValueStudyMachinery:
         assert "graph-refined eval" in md
         assert "failed: RuntimeError: boom" in md
         assert "Regime calibration" in md
+        assert "Verdict vs the U-Net baseline" in md
+        assert "+0.00" in md or "-0.00" in md or "0.0000" in md  # delta rows render
