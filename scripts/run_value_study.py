@@ -54,18 +54,26 @@ from run_results import write_config_dir  # noqa: E402
 # fruit-COLORED pixel sits just BELOW 0.5 — a color-level learner converges
 # to all-background (diagnosed: the trained net predicted 0 foreground
 # pixels even on its own train split in train mode, while CE kept falling).
-# The regime below shifts that posterior to ~0.6 (clutter 2.0, noise 0.15)
-# so the baseline PREDICTS — degraded by clutter false positives and
-# occlusion — which is the trains-but-degrades setting H1 needs.
-# Eval GT stays clean (label noise is train-only).
+# A FOURTH probe (clutter 2.0/noise 0.15, 96²) showed the deeper failure
+# mode: the net sits at the TRIVIAL OPTIMUM — a near-constant p(fruit)
+# ≈ 0.2-0.33 field (fruit-pixel p90 0.327 vs background p99 0.350, zero
+# pixels above argmax threshold even on the train split), with train CE
+# ≈ 0.30 ≈ exactly the constant-class-prior CE. When clutter shares the
+# fruit color, the color gradient is too weak to escape the prior trap in
+# a 240-step budget; escape then needs shape features that are slower to
+# learn than the budget allows. The regime below restores enough color
+# signal to escape (clutter 1.5, lighting 1.3, label noise 0.10, lr 2e-3)
+# while keeping the degradation drivers (50 % occlusion, clutter FP
+# pressure, lighting gradients). Eval GT stays clean (label noise is
+# train-only).
 HARD_SCENE = dict(
     occlusion_prob=0.5,
     max_fruits=7,
     min_fruits=2,
-    lighting_strength=1.4,
-    clutter=2.0,
+    lighting_strength=1.3,
+    clutter=1.5,
 )
-HARD_TRAIN_ONLY = dict(label_noise=0.15)
+HARD_TRAIN_ONLY = dict(label_noise=0.10)
 
 ZERO_GRAPH_LOSSES = dict(
     l_shape_weight=0.0, l_feature_weight=0.0,
@@ -88,6 +96,9 @@ def main():
     # the feature-consistency loss degenerates and the graph branch cannot
     # possibly help. 8-px patches restore fruit-scale graph nodes (8×8 grid).
     ap.add_argument("--patch_size", type=int, default=8)
+    # 2e-3 (vs the easy-regime 1e-3): measured escape energy for the
+    # trivial-optimum trap on the hard regime (see HARD_SCENE comment).
+    ap.add_argument("--lr", type=float, default=2e-3)
     ap.add_argument("--eval_images", type=int, default=200)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -137,7 +148,7 @@ def main():
 
     common = dict(
         data_root=data_root, image_size=size, batch_size=args.batch_size,
-        patch_size=args.patch_size,
+        patch_size=args.patch_size, lr=args.lr,
         # Late, gentle decay: the 64² calibration pilots froze all-background
         # when the 0.3× StepLR decay landed mid-run, before the model broke
         # the background symmetry on this hard regime.
