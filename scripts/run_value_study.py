@@ -99,6 +99,10 @@ def main():
     # 2e-3 (vs the easy-regime 1e-3): measured escape energy for the
     # trivial-optimum trap on the hard regime (see HARD_SCENE comment).
     ap.add_argument("--lr", type=float, default=2e-3)
+    # Calibration gate: if the U-Net baseline's mango IoU lands below this,
+    # the regime collapsed again and every further arm would measure
+    # nothing — abort with the evidence on disk instead of burning hours.
+    ap.add_argument("--require_baseline_iou", type=float, default=0.05)
     ap.add_argument("--eval_images", type=int, default=200)
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
@@ -302,6 +306,18 @@ def main():
             traceback.print_exc()
             results["rows"][slug] = {"error": f"{type(e).__name__}: {e}"}
             flush()
+        if (slug == "unet" and not args.eval_only
+                and "segmentation" in results["rows"].get("unet", {})):
+            iou = results["rows"]["unet"]["segmentation"]["iou_per_class"]
+            mango = iou[1] if len(iou) > 1 else 0.0
+            if mango < args.require_baseline_iou:
+                msg = (f"baseline collapsed (mango IoU {mango:.4f} < "
+                       f"{args.require_baseline_iou}): regime tests nothing, "
+                       "aborting before the expensive arms")
+                print(f"[study] ABORT: {msg}")
+                results["aborted"] = msg
+                flush()
+                return results
     return results
 
 
