@@ -103,9 +103,11 @@ def measure_tpu(batch=BATCH, size=SIZE):
     from mingraph_unet_tpu.models.pipeline import MinGraphUNet
     from mingraph_unet_tpu.models.unet import UNet
 
-    # MG_S2D_LEVEL1=1 flips the r4 level-1 s2d lowering on for an A/B
-    # (exact reparameterization; default off until measured — ROADMAP).
-    level1 = os.environ.get("MG_S2D_LEVEL1", "0") == "1"
+    # MG_S2D_LEVEL1 A/B override: 1 forces the level-1 s2d lowering on,
+    # 0 forces it off; unset = auto (engages with the 256-lane psconv
+    # kernel — measured 712 → 737 img/s at 512² b8, r4).
+    lv1_env = os.environ.get("MG_S2D_LEVEL1")
+    level1 = None if lv1_env is None else lv1_env == "1"
     model = MinGraphUNet(dtype=jnp.bfloat16, detection_pre_pool=32,
                          unet_s2d_level1=level1)
     x = jnp.zeros((batch, size, size, 3), jnp.float32)

@@ -177,8 +177,10 @@ class UNetConfig:
     # reparameterization, ~2× faster at 512² on v5e; ops/s2d.py).
     s2d_level0: bool = True
     # Extend s2d one level down (256-lane convs at encoder block1 / decoder
-    # i=1). Exact reparameterization; r4, default off pending the TPU A/B.
-    s2d_level1: bool = False
+    # i=1). Exact reparameterization. None = auto (r4): engage at inference
+    # exactly when the 256-lane phase-select kernel will run (712 → 737
+    # img/s at 512² b8 v5e; a loss without it — models/unet.py::_psconv_auto).
+    s2d_level1: Optional[bool] = None
 
     def validate(self) -> None:
         if self.depth < 1:

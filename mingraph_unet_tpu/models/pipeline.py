@@ -67,8 +67,10 @@ class MinGraphUNet(nn.Module):
     # reparameterization, ~2× faster at 512² on v5e; ops/s2d.py). Same param
     # tree either way — checkpoints are interchangeable.
     unet_s2d_level0: bool = True
-    # Level-1 s2d extension (r4; default off pending the TPU A/B, ROADMAP).
-    unet_s2d_level1: bool = False
+    # Level-1 s2d extension (r4). None = auto: engage at inference exactly
+    # when the 256-lane phase-select kernel will run (measured 712 → 737
+    # img/s at 512² b8 v5e; a LOSS without the kernel — see UNet.s2d_level1).
+    unet_s2d_level1: Optional[bool] = None
     # Graph construction
     patch_size: int = 16
     unet_patch_feature_dim: int = 16

@@ -64,6 +64,47 @@ def _active_mesh_shape() -> dict:
         pass
     return {}
 
+def _psconv_auto(dtype, b: int, hh: int, ww: int, lanes: int, train: bool = False) -> bool:
+    """Auto profitability decision for the phase-select Pallas kernel on an
+    ``(b, hh, ww)`` s2d grid with ``lanes`` MXU lanes (= 4·channels).
+
+    Measured rule (512² full-pipeline A/B, v5e): the psel trade (16/9×
+    FLOPs at full lanes vs the dense s2d form's 4×) pays when per-shard
+    s2d-pixels × lanes ≥ 2^25, in bf16 only:
+
+    - 128-lane sites (level-0, 32ch, r3): win from b4 (2^18 px · 128 =
+      2^25: 8.60 → 7.78 ms) but lose at b2 (2^24: 3.83 → 4.53) and b1,
+      and lose in fp32 (the MXU runs fp32 at 1/8 rate; 256² b1:
+      0.52 → 0.80 ms).
+    - 256-lane sites (level-1, 64ch, r4): win at b8·128² (2^17 px · 256 =
+      2^25): full pipeline 712 → 737 img/s with the level-1 s2d lowering
+      on. The same lowering WITHOUT the kernel (dense-s2d XLA) loses
+      712 → 651 img/s, which is why ``UNet``'s structural level-1 auto
+      ties to this same rule.
+
+    Under a data-parallel mesh the kernel runs per-shard
+    (custom_partitioning batch rule), so pixels count per shard; spatial
+    sharding disables the kernel entirely (no halo support — ADVICE r3).
+    ``train=True`` additionally honors the MG_PSCONV_TRAIN=none off-switch.
+    """
+    import os
+
+    sites = os.environ.get("MG_PSCONV_SITES", "auto")
+    if sites == "none" or jax.default_backend() != "tpu":
+        return False
+    if train and os.environ.get("MG_PSCONV_TRAIN", "auto") == "none":
+        return False
+    mesh_shape = _active_mesh_shape()
+    if mesh_shape.get("spatial", 1) > 1:
+        return False
+    if sites == "all":
+        return True
+    if sites != "auto":
+        return False  # site-forcing debug modes decide per ConvBlock path
+    shards = mesh_shape.get("data", 1) * mesh_shape.get("dcn", 1)
+    return dtype == jnp.bfloat16 and (b * hh * ww * lanes) // shards >= (1 << 25)
+
+
 # Layout rule for the s2d ConvBlock (all cutovers measured at 512² b8 on
 # v5e, perf_lab ``wconv``): XLA lowers s2d/d2s relayouts ~6× off the HBM
 # roofline (the interleaving transpose), so the conv lowering follows the
@@ -177,51 +218,38 @@ class ConvBlock(nn.Module):
     # None = auto (TPU backend, inference only); tests force True/False.
     use_psconv: Optional[bool] = None
 
-    def _psconv_on(self, b: int, hh: int, ww: int) -> bool:
+    def _psconv_on(self, b: int, hh: int, ww: int, lanes: int = 128) -> bool:
         if self.use_psconv is not None:
             return self.use_psconv
         import os
+
         sites = os.environ.get("MG_PSCONV_SITES", "auto")
-        if sites == "none" or jax.default_backend() != "tpu":
+        if sites in ("auto", "all", "none"):
+            # The measured pixels·lanes ≥ 2^25 rule — see _psconv_auto.
+            return _psconv_auto(self.dtype, b, hh, ww, lanes)
+        # Site-forcing debug modes (MG_PSCONV_SITES=dec/enc): still subject
+        # to the backend + spatial-sharding hard requirements (the kernel
+        # cannot halo-exchange across H shards — ADVICE r3).
+        if jax.default_backend() != "tpu" or _active_mesh_shape().get("spatial", 1) > 1:
             return False
-        mesh_shape = _active_mesh_shape()
-        if mesh_shape.get("spatial", 1) > 1:
-            # H-sharded inference: psconv's batch-dim partitioning rule
-            # would force an all-gather of the H shards at every call (the
-            # kernel cannot halo-exchange across shards); the XLA lowering's
-            # SPMD partitioner inserts the halos natively (ADVICE r3).
-            return False
-        if sites == "auto":
-            # Profitability gate (512² full pipeline A/B, v5e, r3): psel
-            # wins from b4 (262144 s2d pixels: 8.60 → 7.78 ms) but loses at
-            # b2 (3.83 → 4.53) and b1, and loses in fp32 (256² U-Net b1:
-            # 0.52 → 0.80 ms — the MXU runs fp32 at 1/8 rate, so the 16/9
-            # FLOP trade stops paying). Under a data-parallel mesh the
-            # kernel runs per-shard (custom_partitioning batch rule), so
-            # the gate counts PER-SHARD pixels, not global ones.
-            # Explicit sites/use_psconv override.
-            shards = mesh_shape.get("data", 1) * mesh_shape.get("dcn", 1)
-            return self.dtype == jnp.bfloat16 and (b * hh * ww) // shards >= (1 << 18)
-        if sites == "all":
-            return True
         path = "/".join(self.scope.path) if self.scope is not None else ""
         return ("decoder" in path and sites in ("dec",)) or (
             "encoder" in path and sites in ("enc",)
         )
 
-    def _psconv_train_on(self, b: int, hh: int, ww: int) -> bool:
+    def _psconv_train_on(self, b: int, hh: int, ww: int, lanes: int = 128) -> bool:
         """Training-path psconv gate: the inference gate plus a dedicated
         off-switch (MG_PSCONV_TRAIN=none). Profitability uses the same
-        per-shard-pixel rule — at the reference 128² b16 training config
-        (2^16 s2d pixels) the auto gate stays OFF; 512²-class training
-        crosses it. NOTE r4: the 2^18 threshold is carried over from the
-        measured inference A/B; the train-step A/B on real hardware is
-        pending TPU relay recovery (tracked in ROADMAP)."""
+        per-shard pixels·lanes rule — at the reference 128² b16 training
+        config (2^16 s2d pixels · 128 = 2^23) the auto gate stays OFF;
+        512²-class training crosses it. NOTE r4: the threshold is carried
+        over from the measured inference A/B; the train-step A/B on real
+        hardware is pending (tracked in ROADMAP)."""
         import os
 
         if os.environ.get("MG_PSCONV_TRAIN", "auto") == "none":
             return False
-        return self._psconv_on(b, hh, ww)
+        return self._psconv_on(b, hh, ww, lanes)
 
     def _conv(self, x, kernel, bias):
         y = jax.lax.conv_general_dilated(
@@ -297,11 +325,10 @@ class ConvBlock(nn.Module):
                 skip_c = groups[0]
                 if (
                     not train
-                    and self._psconv_on(b, hh, ww)
-                    # 128 = level-0 (32ch) sites; 256 = level-1 (64ch, r4,
-                    # gated off by default via UNet.s2d_level1).
+                    # 128 = level-0 (32ch) sites; 256 = level-1 (64ch, r4).
                     and 4 * skip_c in (128, 256)
                     and 4 * self.features in (128, 256)
+                    and self._psconv_on(b, hh, ww, 4 * min(skip_c, self.features))
                 ):
                     # Whole conv1 in one fused Pallas call: skip term via
                     # the phase-select matmuls, x_prev term via tap-pair-
@@ -352,10 +379,10 @@ class ConvBlock(nn.Module):
                 x = s2d_ops.conv3x3_windowed_down(x.astype(self.dtype), kw)
             elif (
                 not train
-                and self._psconv_on(b, hh, ww)
                 and len(groups) == 1
                 and 4 * cin in (128, 256)
                 and 4 * self.features in (128, 256)
+                and self._psconv_on(b, hh, ww, 4 * min(cin, self.features))
             ):
                 # Phase-select Pallas kernel: 4 dense lane-select matmuls
                 # (16/9× useful FLOPs) with bias+ReLU fused in the epilogue.
@@ -373,10 +400,10 @@ class ConvBlock(nn.Module):
                 fused_epilogue = True
             elif (
                 train
-                and self._psconv_train_on(b, hh, ww)
                 and len(groups) == 1
                 and 4 * cin in (128, 256)
                 and 4 * self.features in (128, 256)
+                and self._psconv_train_on(b, hh, ww, 4 * min(cin, self.features))
             ):
                 # Training through the phase-select kernel (custom_vjp:
                 # adjoint-kernel psel for dx, operand-einsum for dK — both
@@ -682,25 +709,47 @@ class UNet(nn.Module):
     remat: bool = False
     s2d_level0: bool = False
     # Extend the s2d lowering one level down (encoder block1 + decoder
-    # block at i=1, 256-lane convs). Exact reparameterization like level 0;
-    # r4, default off until the TPU A/B lands (ROADMAP).
-    s2d_level1: bool = False
+    # block at i=1, 256-lane convs). Exact reparameterization like level 0.
+    # None = auto (r4): engage at inference exactly when the 256-lane
+    # phase-select kernel will run (_psconv_auto) — the lowering WITHOUT
+    # the kernel is a measured loss (712 → 651 img/s at 512² b8, dense-s2d
+    # 4× FLOPs), WITH it a measured win (712 → 737). Training keeps it off
+    # until the train-step A/B lands (ROADMAP).
+    s2d_level1: Optional[bool] = None
     # Additionally return {"skip0_s2d", "f_u0_s2d", "skip1_s2d", "f_u1_s2d"}
     # (s2d-layout tensors, or None off the s2d path) as a 4th element.
     # Consumers that pool/fuse from the s2d forms leave the full-res
     # skips[0]/f_u[0] relayouts dead for XLA to eliminate.
     return_s2d_extras: bool = False
 
+    def _resolve_s2d_level1(self, x: jnp.ndarray, train: bool) -> bool:
+        """Resolve the tri-state ``s2d_level1`` at trace time (static per
+        compiled shape). Auto engages only when the structural lowering and
+        the 256-lane kernel gate agree — see the field comment."""
+        if self.s2d_level1 is not None:
+            return self.s2d_level1
+        b, h, w = x.shape[:3]
+        lanes1 = 4 * 2 * self.init_features  # level-1 channel width ×4 phases
+        return (
+            not train
+            and self.depth >= 2
+            and h % 4 == 0
+            and w % 4 == 0
+            and lanes1 in (128, 256)
+            and _psconv_auto(self.dtype, b, h // 4, w // 4, lanes1)
+        )
+
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False):
         x = x.astype(self.dtype)
+        s2d_level1 = self._resolve_s2d_level1(x, train)
         skips, bottleneck, s2d_skips = UNetEncoder(
             self.init_features, self.depth, self.use_batchnorm, self.dtype, self.remat,
-            self.s2d_level0, self.s2d_level1, name="encoder"
+            self.s2d_level0, s2d_level1, name="encoder"
         )(x, train)
         logits, f_u, s2d_feats = UNetDecoder(
             self.num_classes, self.init_features, self.depth, self.use_batchnorm, self.dtype,
-            self.remat, self.s2d_level0, self.s2d_level1, name="decoder"
+            self.remat, self.s2d_level0, s2d_level1, name="decoder"
         )(
             skips, bottleneck, train,
             skip0_s2d=s2d_skips["skip0_s2d"], skip1_s2d=s2d_skips["skip1_s2d"],

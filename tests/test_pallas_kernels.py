@@ -430,16 +430,58 @@ class TestPsconvMeshGate:
 
         monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
         blk = ConvBlock(32, dtype=jnp.bfloat16, s2d=True)
-        # single-device: 8·256·256 = 2^19 pixels passes the 2^18 gate
+        # single-device: 8·256·256·128 lanes = 2^26 passes the 2^25 gate
         assert blk._psconv_on(8, 256, 256)
         with make_mesh(4, 2):  # spatial axis > 1 -> XLA path
             assert not blk._psconv_on(8, 256, 256)
-        with make_mesh(8, 1):  # per-shard: 2^19 / 8 = 2^16 < 2^18 -> off
+        with make_mesh(8, 1):  # per-shard: 2^26 / 8 = 2^23 < 2^25 -> off
             assert not blk._psconv_on(8, 256, 256)
-        with make_mesh(2, 1):  # per-shard: 2^18 -> on
+        with make_mesh(2, 1):  # per-shard: 2^25 -> on
             assert blk._psconv_on(8, 256, 256)
         # explicit override bypasses the gate entirely
         assert ConvBlock(32, dtype=jnp.bfloat16, s2d=True, use_psconv=True)._psconv_on(1, 2, 2)
+
+    def test_gate_lane_aware(self, monkeypatch):
+        """r4: profitability is pixels·lanes ≥ 2^25 — 256-lane (level-1)
+        sites clear it at half the pixels of 128-lane sites (the measured
+        712 → 737 img/s win at 8·128²·256 = 2^25)."""
+        from mingraph_unet_tpu.models.unet import ConvBlock
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        blk = ConvBlock(64, dtype=jnp.bfloat16, s2d=True)
+        assert not blk._psconv_on(8, 128, 128, lanes=128)  # 2^24 -> off
+        assert blk._psconv_on(8, 128, 128, lanes=256)  # 2^25 -> on
+        # fp32 never passes the auto gate
+        assert not ConvBlock(64, s2d=True)._psconv_on(8, 128, 128, lanes=256)
+
+    def test_unet_structural_level1_auto(self, monkeypatch):
+        """UNet.s2d_level1=None resolves at trace time: ON exactly when the
+        256-lane kernel gate passes (inference, TPU, bf16, shape over the
+        threshold); OFF in training and under spatial sharding (where the
+        dense-s2d fallback is a measured loss)."""
+        from mingraph_unet_tpu.models.unet import UNet
+        from mingraph_unet_tpu.parallel.mesh import make_mesh
+
+        unet = UNet(dtype=jnp.bfloat16, s2d_level0=True)
+        x = jnp.zeros((8, 512, 512, 3), jnp.bfloat16)
+        # CPU backend: auto stays off
+        assert not unet._resolve_s2d_level1(x, train=False)
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        assert unet._resolve_s2d_level1(x, train=False)
+        assert not unet._resolve_s2d_level1(x, train=True)  # train: off (A/B pending)
+        assert not unet._resolve_s2d_level1(x[:2], train=False)  # 2^23 < 2^25
+        with make_mesh(4, 2):  # spatial sharding -> off
+            assert not unet._resolve_s2d_level1(x, train=False)
+        # explicit settings win over auto
+        assert UNet(s2d_level1=True)._resolve_s2d_level1(x[:1], train=True)
+        assert not UNet(dtype=jnp.bfloat16, s2d_level1=False)._resolve_s2d_level1(
+            x, train=False
+        )
+        # fp32 never auto-engages; odd sizes never auto-engage
+        assert not UNet(s2d_level0=True)._resolve_s2d_level1(x, train=False)
+        assert not unet._resolve_s2d_level1(
+            jnp.zeros((8, 510, 510, 3), jnp.bfloat16), train=False
+        )
 
 
 class TestPsconvTrainVJP:
