@@ -425,6 +425,14 @@ class TrainingConfig:
     # "loss", best_mode below) instead of the newest. None = newest.
     checkpoint_best_metric: Optional[str] = None
     checkpoint_best_mode: str = "min"
+    # In-step instance decomposition (soft shape loss + CC-derived dense-
+    # detection GT): "fast" = scatter-free stencil CC + dense top-K
+    # (ops/cc.py, ~free on TPU; exact for ≤~16 compact blobs — the domain's
+    # images); "exact" = general hook-and-jump CC + histogram top-K
+    # (content-exact under speckled/noisy-label masks, but 188 ms at
+    # 16×128² / 1102 ms at 8×512² on v5e, r4 probe — noisy-label studies
+    # opt in, production training keeps "fast").
+    instancing: str = "fast"
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":
@@ -441,6 +449,8 @@ class TrainingConfig:
             raise ValueError("scan_window must be >= 1")
         if self.lr_scheduler is not None and self.lr_scheduler.lower() not in ("steplr", "none"):
             raise ValueError("lr_scheduler must be 'steplr', 'none' or null")
+        if self.instancing not in ("fast", "exact"):
+            raise ValueError("instancing must be 'fast' or 'exact'")
 
 
 # ---------------------------------------------------------------------------

@@ -216,6 +216,7 @@ def elliptical_shape_loss_soft_instances(
     threshold: float = 0.5,
     min_pixels: int = 10,
     epsilon: float = 1e-6,
+    exact: bool = False,
 ) -> jnp.ndarray:
     """Instance-decomposed differentiable L_shape (r4: fixes the soft form's
     single-ellipse-on-union prior, VERDICT r3 weak #6).
@@ -239,8 +240,16 @@ def elliptical_shape_loss_soft_instances(
     hard = (p_fg > threshold).astype(jnp.int32)
 
     def per_image(m):
-        labels = cc.label_components(m)
-        inst, _ = cc.top_instances(labels, max_instances, min_area=min_pixels)
+        # Default: the scatter-free stencil/dense forms (the loss runs
+        # inside every train step; the exact hook-and-jump CC costs 186 ms
+        # at 16×128² on v5e, r4 probe — the stencil forms are ~free).
+        # ``exact=True`` restores general-shape / crowded-scene exactness.
+        if exact:
+            labels = cc.label_components(m)
+            inst, _ = cc.top_instances(labels, max_instances, min_area=min_pixels)
+        else:
+            labels = cc.label_components_stencil(m)
+            inst, _ = cc.top_instances_dense(labels, max_instances, min_area=min_pixels)
         return inst  # (O, H, W) binary
 
     inst = jax.lax.stop_gradient(jax.vmap(per_image)(hard))  # (B, O, H, W)

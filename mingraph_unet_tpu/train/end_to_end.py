@@ -113,6 +113,7 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
     lw = cfg.model.losses
     patch = cfg.model.graph_construction.patch_size
     max_instances = cfg.model.fusion_detection.max_instances
+    exact_instancing = cfg.training.instancing == "exact"
 
     def train_step(state: TrainState, images_u8, masks, key):
         # ``masks`` is either the semantic mask batch or a (masks, instances)
@@ -179,7 +180,7 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
                 # predicted blob instead of to the union of all fruit,
                 # while ∂L_shape/∂probs still exists.
                 l_shape = losses.elliptical_shape_loss_soft_instances(
-                    probs, max_instances=max_instances
+                    probs, max_instances=max_instances, exact=exact_instancing
                 )
             l_smooth = losses.total_variation_loss(probs[..., 1:2])
 
@@ -218,8 +219,18 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
                     from mingraph_unet_tpu.ops import cc
 
                     def gt_instances_cc(m):
-                        labels = cc.label_components((m == 1).astype(jnp.int32))
-                        masks_i, _ = cc.top_instances(labels, max_instances, min_area=10)
+                        # instancing="fast" (default): scatter-free stencil
+                        # CC + dense top-K — the exact forms cost 188 ms at
+                        # 16×128² in-step (r4 probe, ops/cc.py docstrings).
+                        # Noisy-label regimes (e.g. the value study) set
+                        # instancing="exact": speckle components crowd out
+                        # the fast form's raster-first candidate window.
+                        if exact_instancing:
+                            labels = cc.label_components((m == 1).astype(jnp.int32))
+                            masks_i, _ = cc.top_instances(labels, max_instances, min_area=10)
+                        else:
+                            labels = cc.label_components_stencil((m == 1).astype(jnp.int32))
+                            masks_i, _ = cc.top_instances_dense(labels, max_instances, min_area=10)
                         return masks_i
 
                     inst = jax.vmap(gt_instances_cc)(aug_masks)  # (B, O, H, W)

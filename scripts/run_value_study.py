@@ -161,6 +161,10 @@ def main():
         # window-8 multistep's XLA compile alone runs tens of minutes on
         # this 1-core box (measured r4) while steps see no benefit.
         scan_window=1 if args.cpu else 8,
+        # Label-noise regime: if any arm ever runs the in-step CC instance
+        # proxies (it shouldn't — the study trains with real annotations),
+        # speckle components must not crowd the fast form's candidate window.
+        instancing="exact",
     )
 
     def cfg_for(slug, *, epochs, **kw):

@@ -160,3 +160,81 @@ class TestConnectedComponents:
         mask[1, 1] = 1  # diagonal only -> 2 components under 4-connectivity
         f = jax.jit(lambda m: cc.component_count(cc.label_components(m)))
         assert int(f(jnp.asarray(mask))) == 2
+
+
+class TestFastInstancing:
+    """The scatter-free in-step forms (r4): ``label_components_stencil`` +
+    ``top_instances_dense`` must match the exact forms on their contract
+    domain (compact components, ≤ candidate-window many), and their
+    documented divergences must actually behave as documented."""
+
+    def test_stencil_matches_exact_on_random_masks(self):
+        for seed in range(8):
+            mask = (rng(seed).random((24, 24)) < 0.45).astype(np.int32)
+            exact = np.asarray(cc.label_components(jnp.asarray(mask)))
+            fast = np.asarray(cc.label_components_stencil(jnp.asarray(mask)))
+            np.testing.assert_array_equal(fast, exact)
+
+    def test_stencil_splits_beyond_iteration_bound(self):
+        # A 1-px line of length 40 has geodesic diameter 40: 8 sweeps can't
+        # connect it (documented split), 64 can.
+        mask = np.zeros((4, 48), np.int32)
+        mask[1, 2:42] = 1
+        lab8 = np.asarray(cc.label_components_stencil(jnp.asarray(mask), num_iters=8))
+        lab64 = np.asarray(cc.label_components_stencil(jnp.asarray(mask), num_iters=64))
+        fg = mask.astype(bool)
+        assert len(np.unique(lab8[fg])) > 1  # unconverged: label gradient
+        assert len(np.unique(lab64[fg])) == 1
+
+    def test_top_dense_matches_exact_on_blobs(self):
+        # Clean fruit-like scene: 3 compact blobs with distinct areas.
+        mask = np.zeros((48, 48), np.int32)
+        mask[2:8, 3:9] = 1       # 36 px
+        mask[20:29, 20:28] = 1   # 72 px
+        mask[40:43, 5:9] = 1     # 12 px
+        labels = jnp.asarray(cc.label_components(jnp.asarray(mask)))
+        for min_area in (1, 10, 40):
+            me, ae = cc.top_instances(labels, 4, min_area=min_area)
+            md, ad = cc.top_instances_dense(labels, 4, min_area=min_area)
+            np.testing.assert_array_equal(np.asarray(ad), np.asarray(ae))
+            np.testing.assert_array_equal(np.asarray(md), np.asarray(me))
+
+    def test_top_dense_matches_exact_random_min_area_1(self):
+        # min_area=1 disables the compactness prefilter; equality holds for
+        # any mask with at most `candidates` components.
+        for seed in range(6):
+            mask = (rng(seed).random((16, 16)) < 0.3).astype(np.int32)
+            labels = cc.label_components(jnp.asarray(mask))
+            if int(cc.component_count(labels)) > 16:
+                continue
+            me, ae = cc.top_instances(labels, 5, min_area=1)
+            md, ad = cc.top_instances_dense(labels, 5, min_area=1)
+            np.testing.assert_array_equal(np.asarray(ad), np.asarray(ae))
+            np.testing.assert_array_equal(np.asarray(md), np.asarray(me))
+
+    def test_top_dense_prefilter_rejects_speckle(self):
+        # Fruit blobs must win the candidate window over raster-earlier
+        # 1-px speckles when min_area exceeds speckle mass.
+        mask = np.zeros((64, 64), np.int32)
+        spk = rng(7)
+        for _ in range(40):  # sparse speckle, raster-before the fruit
+            y, x = spk.integers(0, 18), spk.integers(0, 64)
+            mask[y, x] = 1
+        mask[30:42, 10:22] = 1   # 144 px fruit
+        mask[50:59, 40:48] = 1   # 72 px fruit
+        labels = cc.label_components_stencil(jnp.asarray(mask))
+        masks, areas = cc.top_instances_dense(labels, 4, min_area=10)
+        got = sorted(np.asarray(areas)[np.asarray(areas) > 0].tolist(), reverse=True)
+        assert got[:2] == [144.0, 72.0]
+
+    def test_soft_instance_loss_fast_matches_exact(self):
+        from mingraph_unet_tpu.models import losses
+
+        probs_fg = np.full((2, 32, 32), 0.1, np.float32)
+        probs_fg[0, 4:12, 5:14] = 0.9
+        probs_fg[0, 20:27, 18:26] = 0.8
+        probs_fg[1, 10:22, 8:21] = 0.95
+        probs = np.stack([1.0 - probs_fg, probs_fg], axis=-1)
+        le = losses.elliptical_shape_loss_soft_instances(jnp.asarray(probs), exact=True)
+        lf = losses.elliptical_shape_loss_soft_instances(jnp.asarray(probs), exact=False)
+        np.testing.assert_allclose(float(lf), float(le), rtol=1e-6)
