@@ -85,14 +85,15 @@ def _psconv_auto(dtype, b: int, hh: int, ww: int, lanes: int, train: bool = Fals
     Under a data-parallel mesh the kernel runs per-shard
     (custom_partitioning batch rule), so pixels count per shard; spatial
     sharding disables the kernel entirely (no halo support — ADVICE r3).
-    ``train=True`` additionally honors the MG_PSCONV_TRAIN=none off-switch.
+    ``train=True`` is OFF unless MG_PSCONV_TRAIN=on — the train-step A/B
+    measured the kernel losing there (see ``ConvBlock._psconv_train_on``).
     """
     import os
 
     sites = os.environ.get("MG_PSCONV_SITES", "auto")
     if sites == "none" or jax.default_backend() != "tpu":
         return False
-    if train and os.environ.get("MG_PSCONV_TRAIN", "auto") == "none":
+    if train and os.environ.get("MG_PSCONV_TRAIN", "off") not in ("on", "all"):
         return False
     mesh_shape = _active_mesh_shape()
     if mesh_shape.get("spatial", 1) > 1:
@@ -238,16 +239,23 @@ class ConvBlock(nn.Module):
         )
 
     def _psconv_train_on(self, b: int, hh: int, ww: int, lanes: int = 128) -> bool:
-        """Training-path psconv gate: the inference gate plus a dedicated
-        off-switch (MG_PSCONV_TRAIN=none). Profitability uses the same
-        per-shard pixels·lanes rule — at the reference 128² b16 training
-        config (2^16 s2d pixels · 128 = 2^23) the auto gate stays OFF;
-        512²-class training crosses it. NOTE r4: the threshold is carried
-        over from the measured inference A/B; the train-step A/B on real
-        hardware is pending (tracked in ROADMAP)."""
+        """Training-path psconv gate — default OFF: a measured NEGATIVE.
+
+        The custom_vjp path (fwd/dx psel kernels + operand-einsum dK) is
+        grad-parity-tested and dispatchable, but the r4 hardware A/B
+        (``scripts/bench_train.py``, v5e, full e2e train step) measured it
+        LOSING where the inference rule would engage it: 512² b8 94.8 →
+        102.0 ms/step (0.93×). Unlike inference, training reuses the s2d
+        activations for dK and dx — XLA keeps one fused dense-s2d layout
+        across fwd+bwd, while the psel trade pays its 16/9× three times
+        and breaks that reuse. 128² b16 (below the pixel threshold either
+        way): 10.53 vs 10.28 ms, noise. MG_PSCONV_TRAIN=on forces the
+        kernel back on (same per-shard pixels·lanes profitability rule as
+        inference) for future re-measurement; =none keeps the hard off."""
         import os
 
-        if os.environ.get("MG_PSCONV_TRAIN", "auto") == "none":
+        mode = os.environ.get("MG_PSCONV_TRAIN", "off")
+        if mode not in ("on", "all"):
             return False
         return self._psconv_on(b, hh, ww, lanes)
 

@@ -10,11 +10,15 @@ configs:
 - 512² batch 8 — the flagship inference shape, trained;
 - 128² batch 16 — the RESULTS/value-study training config.
 
-Arms: ``MG_PSCONV_TRAIN=none`` (XLA dense-s2d convs, the r3 status quo,
-4× inflated FLOPs on the s2d levels) vs ``auto`` (the phase-select Pallas
+Arms: ``MG_PSCONV_TRAIN=off`` (XLA dense-s2d convs — the production
+default: the r4 A/B measured the kernel losing in training, see
+``ConvBlock._psconv_train_on``) vs ``on`` (the phase-select Pallas
 kernel's custom_vjp from ``ops/pallas/psconv.py`` — fwd/dx at 16/9× FLOPs,
 dK via the s2d-tap einsum; grad parity is tested in
-``tests/test_pallas_kernels.py``).
+``tests/test_pallas_kernels.py``). r4 result (v5e, post the scatter-free
+instancing fix that unmasked the conv cost): 512² b8 94.8 (off) vs 102.0
+(on) ms/step; 128² b16 10.5 vs 10.3 (gate below threshold both arms —
+noise).
 
 Methodology (memory: slope-time everything; fresh jit per A/B arm):
 
@@ -40,7 +44,7 @@ import time
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, REPO)
 
-ARMS = ("none", "auto")
+ARMS = ("off", "on")
 CONFIGS = ((512, 8), (128, 16))
 
 
@@ -114,7 +118,7 @@ def measure_one(size: int, batch: int, *, cpu: bool = False,
     return {
         "size": size,
         "batch": batch,
-        "mode": os.environ.get("MG_PSCONV_TRAIN", "auto"),
+        "mode": os.environ.get("MG_PSCONV_TRAIN", "off"),
         "ms_per_step": ms,
         "images_per_s": batch / (ms / 1e3),
         "compile_s": compile_short + compile_long,
@@ -177,12 +181,12 @@ def main():
     with open(out, "w") as f:
         json.dump(rows, f, indent=2)
 
-    print(f"\n[bench_train] {'config':>10} | {'none (XLA) ms':>14} | "
-          f"{'auto (psconv) ms':>16} | speedup")
+    print(f"\n[bench_train] {'config':>10} | {'off (XLA) ms':>14} | "
+          f"{'on (psconv) ms':>16} | speedup")
     by = {(r.get("size"), r.get("batch"), r.get("mode")): r for r in rows}
     for size, batch in CONFIGS:
-        a = by.get((size, batch, "none"), {})
-        b = by.get((size, batch, "auto"), {})
+        a = by.get((size, batch, "off"), {})
+        b = by.get((size, batch, "on"), {})
         if "ms_per_step" in a and "ms_per_step" in b:
             print(f"[bench_train] {size}² b{batch:>3} | {a['ms_per_step']:>14.2f} | "
                   f"{b['ms_per_step']:>16.2f} | "
