@@ -107,6 +107,12 @@ def main():
     ap.add_argument("--quick", action="store_true")
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
+        "--only", default=None,
+        help="comma-separated arm slugs: train/evaluate ONLY these, merging "
+        "into the existing outputs/value_study.json rows (for adding arms "
+        "to a completed study without retraining it)",
+    )
+    ap.add_argument(
         "--eval_only", action="store_true",
         help="never train: evaluate every arm that already has a config dir "
         "and a checkpoint, then exit (checkpoint-of-record for a study whose "
@@ -183,6 +189,13 @@ def main():
     results = {"scene": {**HARD_SCENE, "train_only": HARD_TRAIN_ONLY},
                "config": vars(args), "rows": {}}
     os.makedirs(args.results_dir, exist_ok=True)
+    if args.only:
+        # Merge mode: keep the completed study's rows, add/replace the named
+        # arms only (same data_root, so the regime is identical by construction).
+        prev_path = os.path.join(args.results_dir, "value_study.json")
+        if os.path.exists(prev_path):
+            with open(prev_path) as f:
+                results["rows"] = json.load(f).get("rows", {})
 
     def flush():
         results["wall_clock_sec"] = round(time.time() - t0, 1)
@@ -223,27 +236,32 @@ def main():
         results["rows"][slug] = row
         flush()
 
-    def train_twophase():
+    def make_twophase_arm(slug, ablation=None):
         # Two-phase: seg(+detection)-only warmup, then joint at default λ.
         # Phase A writes λ=0 configs into the SAME checkpoint dir; phase B
         # resumes from A's last epoch with the real λ (resume=True default).
-        root = os.path.join(out_root, "full_twophase")
-        ckpt_dir = os.path.join(root, "checkpoints")
-        cfg_a = write_config_dir(
-            os.path.join(root, "configs_warmup"), epochs=args.warmup_epochs,
-            ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
-            use_dense=True, losses=ZERO_GRAPH_LOSSES, **common,
-        )
-        print("\n[study] === two-phase: warmup (graph losses off) ===")
-        train_end_to_end(cfg_a)
-        cfg_b = write_config_dir(
-            os.path.join(root, "configs"), epochs=args.epochs,
-            ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
-            use_dense=True, **common,
-        )
-        print("[study] === two-phase: joint (resumes warmup checkpoint) ===")
-        train_end_to_end(cfg_b)
-        return cfg_b, ckpt_dir
+        def run():
+            root = os.path.join(out_root, slug)
+            ckpt_dir = os.path.join(root, "checkpoints")
+            cfg_a = write_config_dir(
+                os.path.join(root, "configs_warmup"), epochs=args.warmup_epochs,
+                ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
+                use_dense=True, losses=ZERO_GRAPH_LOSSES, ablation=ablation,
+                **common,
+            )
+            print(f"\n[study] === {slug}: warmup (graph losses off) ===")
+            train_end_to_end(cfg_a)
+            cfg_b = write_config_dir(
+                os.path.join(root, "configs"), epochs=args.epochs,
+                ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
+                use_dense=True, ablation=ablation, **common,
+            )
+            print(f"[study] === {slug}: joint (resumes warmup checkpoint) ===")
+            train_end_to_end(cfg_b)
+            return cfg_b, ckpt_dir
+        return run
+
+    train_twophase = make_twophase_arm("full_twophase")
 
     NO_GRAPH_STAGES = {"use_patch_gat": False, "use_partition": False,
                        "use_region_gat": False}
@@ -280,6 +298,14 @@ def main():
          make_e2e_arm("dense_nofusion", "dense head without graph fusion",
                       ablation=NO_FUSION),
          "mingraph-unet", NO_FUSION),
+        # The CLEAN fusion attribution (r4 follow-up): under default λ both
+        # fusion arms collapse with segmentation, so their tie attributes
+        # nothing. The two-phase schedule is the regime where the system
+        # trains sanely — pairing it with fusion OFF isolates what the graph
+        # features add to the dense head.
+        ("nofusion_twophase",
+         make_twophase_arm("nofusion_twophase", ablation=NO_FUSION),
+         "mingraph-unet", NO_FUSION),
         ("control_nographstages",
          make_e2e_arm("control_nographstages",
                       "control: graph stages ablated, same losses",
@@ -294,7 +320,10 @@ def main():
                       losses=dict(l_feature_weight=0.0)),
          "mingraph-unet", None),
     ]
+    only = set(args.only.split(",")) if args.only else None
     for slug, train_fn, mtype, ablation in arms:
+        if only is not None and slug not in only:
+            continue
         try:
             if args.eval_only:
                 cfg = os.path.join(out_root, slug, "configs")
@@ -348,6 +377,7 @@ LABELS = {
     "full_lfeat_0": "Full method, λ_feature=0",
     "control_nographstages": "Control: graph stages OFF, same L_total",
     "dense_nofusion": "Full method, fusion OFF (dense head sees F_u only)",
+    "nofusion_twophase": "Two-phase, fusion OFF (the clean fusion attribution)",
 }
 
 
@@ -432,7 +462,80 @@ def render_markdown(results):
                     f"| {LABELS.get(slug, slug)}{label_suffix} |{mark}"
                     f"{d_iou:+.4f}{mark.strip()} | {d_cnt:+.2f} |"
                 )
+    if "cc_counting" in base:
+        # The SYSTEM comparison on the reference's end task (yield
+        # estimation): the plain U-Net's only detector is CC instancing
+        # over its segmentation; the full architecture's detector is the
+        # graph-fused dense head. Count accuracy alone hides detection
+        # quality — matching, occlusion robustness and AP@0.5 are where
+        # per-fruit detection (vs blob counting) shows up.
+        bc = base["cc_counting"]
+        lines += [
+            "",
+            "## System verdict on the end task (yield estimation)",
+            "",
+            "| System | Detector | Count acc. (%) | Matching (%) | "
+            "Occlusion robustness (%) | AP@0.5 (%) |",
+            "|---|---|---|---|---|---|",
+            f"| U-Net baseline | CC over segmentation | "
+            f"{bc['count_accuracy_perc']:.2f} | "
+            f"{bc['object_matching_rate_perc']:.2f} | "
+            f"{bc['occlusion_robustness_perc']:.2f} | "
+            f"{bc.get('ap50_perc', float('nan')):.2f} |",
+        ]
+        for slug, row in results["rows"].items():
+            dh = row.get("dense_head")
+            if not dh:
+                continue
+            cells = [dh["count_accuracy_perc"], dh["object_matching_rate_perc"],
+                     dh["occlusion_robustness_perc"], dh.get("ap50_perc", float("nan"))]
+            bases = [bc["count_accuracy_perc"], bc["object_matching_rate_perc"],
+                     bc["occlusion_robustness_perc"], bc.get("ap50_perc", float("nan"))]
+            body = " | ".join(
+                (f"**{c:.2f}**" if c > b else f"{c:.2f}")
+                for c, b in zip(cells, bases)
+            )
+            det = ("dense head (fusion OFF)" if "nofusion" in slug
+                   else "graph-fused dense head")
+            lines.append(f"| {LABELS.get(slug, slug)} | {det} | {body} |")
     lines += [
+        "",
+        "## Diagnosis (r4 run, 2026-08-18 — written against the tables above)",
+        "",
+        "1. **Segmentation: the graph losses subtract, and scheduling — not "
+        "λ — is the rescue.** Joint training from cold collapses to "
+        "all-background (mango IoU 0.0000 at default λ) while the CE+dice "
+        "U-Net reaches 0.8716 on the same regime; removing L_feature "
+        "entirely (λ_feature=0) still loses (0.6924), and the no-graph-"
+        "stages control with the same L_total also degrades (0.2170) — so "
+        "the interference is the multi-loss cold-start itself (H3), not "
+        "any single λ (H2). The two-phase schedule (seg-only warmup → "
+        "joint) recovers most of it (0.7481/0.7877) but never beats the "
+        "plain U-Net on mask IoU.",
+        "2. **The end task is where the architecture pays: detection "
+        "quality, not mask quality.** As a yield SYSTEM, the two-phase "
+        "full method beats the U-Net baseline decisively on matching "
+        "(73.49 vs 63.86 %), occlusion robustness (69.03 vs 47.74 %) and "
+        "AP@0.5 (71.31 vs 56.89 %): per-fruit detection separates touching "
+        "fruit that CC blob-counting merges. Count accuracy alone hides "
+        "this (81.38 vs 77.88 % — blob counts are right for the wrong "
+        "instances).",
+        "3. **Fusion attribution: the graph features are NOT the "
+        "ingredient.** The clean pair (two-phase, fusion ON vs OFF) ties "
+        "within noise — AP@0.5 71.31 vs 69.73, occlusion 69.03 vs 69.68 — "
+        "so the detection win comes from the dense head trained under the "
+        "multi-task losses, not from the GAT/partition features it fuses. "
+        "The graph branch's mechanisms that DO act on outputs (region-mean "
+        "logit blending over the trained partition) actively destroy "
+        "segmentation here (refined rows ≈ 0): at 64²/8-px patches the "
+        "learned partition does not align with fruit boundaries.",
+        "4. **Net: on this regime the reference architecture's premise — "
+        "graph refinement improving segmentation/counting — does not hold "
+        "for its graph components; the measurable value lives in dense "
+        "per-fruit detection plus a two-phase schedule.** Both are "
+        "framework additions the reference lacks. The paper-quoted targets "
+        "(experiments/metrics.py:188-192) remain unreproduced in either "
+        "framework's favor on mask IoU.",
         "",
         "## Regime calibration (reported for honesty)",
         "",
