@@ -64,7 +64,7 @@ def _active_mesh_shape() -> dict:
         pass
     return {}
 
-def _psconv_auto(dtype, b: int, hh: int, ww: int, lanes: int, train: bool = False) -> bool:
+def _psconv_auto(dtype, b: int, hh: int, ww: int, lanes: int) -> bool:
     """Auto profitability decision for the phase-select Pallas kernel on an
     ``(b, hh, ww)`` s2d grid with ``lanes`` MXU lanes (= 4·channels).
 
@@ -85,15 +85,13 @@ def _psconv_auto(dtype, b: int, hh: int, ww: int, lanes: int, train: bool = Fals
     Under a data-parallel mesh the kernel runs per-shard
     (custom_partitioning batch rule), so pixels count per shard; spatial
     sharding disables the kernel entirely (no halo support — ADVICE r3).
-    ``train=True`` is OFF unless MG_PSCONV_TRAIN=on — the train-step A/B
-    measured the kernel losing there (see ``ConvBlock._psconv_train_on``).
+    This is the INFERENCE profitability rule; training is gated separately
+    (and defaults OFF on a measured negative — ``ConvBlock._psconv_train_on``).
     """
     import os
 
     sites = os.environ.get("MG_PSCONV_SITES", "auto")
     if sites == "none" or jax.default_backend() != "tpu":
-        return False
-    if train and os.environ.get("MG_PSCONV_TRAIN", "off") not in ("on", "all"):
         return False
     mesh_shape = _active_mesh_shape()
     if mesh_shape.get("spatial", 1) > 1:
