@@ -425,6 +425,14 @@ class TrainingConfig:
     # "loss", best_mode below) instead of the newest. None = newest.
     checkpoint_best_metric: Optional[str] = None
     checkpoint_best_mode: str = "min"
+    # Two-phase schedule (the value study's measured rescue for multi-loss
+    # cold-start collapse, outputs/VALUE_STUDY.md): for the first N epochs
+    # the four graph-loss weights (shape/feature/partition/smooth) are
+    # zeroed — segmentation(+detection) train alone — then the full L_total
+    # engages. 0 = joint from the start (the reference's schedule,
+    # train_end_to_end.py:472-476). Resume-safe: the phase derives from the
+    # epoch counter.
+    graph_warmup_epochs: int = 0
     # In-step instance decomposition (soft shape loss + CC-derived dense-
     # detection GT): "fast" = scatter-free stencil CC + dense top-K
     # (ops/cc.py, ~free on TPU; exact for ≤~16 compact blobs — the domain's
@@ -451,6 +459,8 @@ class TrainingConfig:
             raise ValueError("lr_scheduler must be 'steplr', 'none' or null")
         if self.instancing not in ("fast", "exact"):
             raise ValueError("instancing must be 'fast' or 'exact'")
+        if self.graph_warmup_epochs < 0:
+            raise ValueError("graph_warmup_epochs must be >= 0")
 
 
 # ---------------------------------------------------------------------------

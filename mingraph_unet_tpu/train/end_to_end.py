@@ -311,15 +311,51 @@ def train_end_to_end(
         variables = jax.jit(model.init)(init_key, sample)
         state = TrainState.create(variables, tx)
 
-    train_step = make_e2e_train_step(model, tx, cfg, augment=True, train_detection=train_detection)
     donate = (0,) if train_cfg.donate_buffers else ()
-    jit_step = jax.jit(train_step, donate_argnums=donate)
     window = max(1, train_cfg.scan_window)
-    jit_window = (
-        jax.jit(make_multistep(train_step, window), donate_argnums=donate)
-        if window > 1
-        else None
-    )
+
+    def build_steps(phase_cfg):
+        ts = make_e2e_train_step(
+            model, tx, phase_cfg, augment=True, train_detection=train_detection
+        )
+        jw = (
+            jax.jit(make_multistep(ts, window), donate_argnums=donate)
+            if window > 1
+            else None
+        )
+        return jax.jit(ts, donate_argnums=donate), jw
+
+    # Two-phase schedule (graph_warmup_epochs > 0): warmup epochs run a step
+    # compiled with the four graph-loss λs zeroed — the value study's
+    # measured rescue for multi-loss cold-start collapse (joint-from-cold
+    # reaches mango IoU 0.0000 where two-phase reaches 0.75-0.79,
+    # outputs/VALUE_STUDY.md). One extra compile at the phase boundary;
+    # param tree and optimizer state are identical across phases.
+    _steps_cache: Dict[str, Any] = {}
+
+    def steps_for_epoch(epoch):
+        phase = "warmup" if epoch < train_cfg.graph_warmup_epochs else "joint"
+        if phase not in _steps_cache:
+            if phase == "warmup":
+                import dataclasses
+
+                phase_cfg = dataclasses.replace(
+                    cfg,
+                    model=dataclasses.replace(
+                        cfg.model,
+                        losses=dataclasses.replace(
+                            cfg.model.losses,
+                            l_shape_weight=0.0, l_feature_weight=0.0,
+                            l_partition_weight=0.0, l_smooth_weight=0.0,
+                        ),
+                    ),
+                )
+            else:
+                phase_cfg = cfg
+            _steps_cache[phase] = build_steps(phase_cfg)
+        return _steps_cache[phase]
+
+    jit_step, jit_window = steps_for_epoch(start_epoch)
 
     num_epochs = max_epochs if max_epochs is not None else train_cfg.num_epochs
     logger = MetricsLogger(train_cfg.log_dir, "train_end_to_end", train_cfg.log_interval)
@@ -328,6 +364,7 @@ def train_end_to_end(
 
     with mesh:
         for epoch in range(start_epoch, num_epochs):
+            jit_step, jit_window = steps_for_epoch(epoch)
             # StepLR only changes at epoch granularity; evaluating the
             # optax schedule is an eager device round trip, so cache it.
             epoch_lr = float(schedule(epoch * steps_per_epoch))

@@ -189,6 +189,49 @@ class TestEndToEndTrainer:
         assert ckpts, "composite checkpoint must be written"
 
 
+class TestTwoPhaseSchedule:
+    def test_graph_warmup_zeroes_graph_losses_then_engages(self, tmp_path):
+        """graph_warmup_epochs=1 (the value study's measured rescue for
+        multi-loss cold-start collapse): epoch-0 steps must optimize ONLY
+        seg+detection (logged total excludes the graph terms), epoch-1
+        steps the full L_total. Raw per-loss metrics are logged unweighted
+        either way, so the total is the discriminator."""
+        import json
+
+        import yaml
+
+        from mingraph_unet_tpu.train.end_to_end import train_end_to_end
+
+        cfg_dir = make_dummy_run(
+            str(tmp_path), num_images=4, image_size=(32, 32), batch_size=2,
+            num_epochs=2, patch_size=8, init_features=4, depth=2,
+        )
+        tc = yaml.safe_load(open(os.path.join(cfg_dir, "training.yaml")))
+        tc["graph_warmup_epochs"] = 1
+        tc["log_interval"] = 1
+        yaml.safe_dump(tc, open(os.path.join(cfg_dir, "training.yaml"), "w"))
+        state, history = train_end_to_end(cfg_dir, max_epochs=2)
+        assert int(state.step) == 4
+        log_dir = yaml.safe_load(open(os.path.join(cfg_dir, "training.yaml")))["log_dir"]
+        (log_file,) = [f for f in os.listdir(log_dir) if f.endswith(".jsonl")]
+        rows = [json.loads(l) for l in open(os.path.join(log_dir, log_file))]
+        from mingraph_unet_tpu.config import PipelineConfig
+
+        lw = PipelineConfig.from_config_dir(cfg_dir).model.losses
+        for row in rows:
+            expect_base = row["l_unet_seg"] + row["l_bbox"] + row["l_conf"]
+            graph_part = (
+                lw.l_shape_weight * row["l_shape"]
+                + lw.l_feature_weight * row["l_feature"]
+                + lw.l_partition_weight * row["l_partition"]
+                + lw.l_smooth_weight * row["l_smooth"]
+            )
+            if row["epoch"] == 0:
+                assert abs(row["total"] - expect_base) < 1e-4, row
+            else:
+                assert abs(row["total"] - expect_base - graph_part) < 1e-4, row
+
+
 class TestDenseDetectionTraining:
     def test_e2e_with_dense_head(self, tmp_path):
         import yaml
