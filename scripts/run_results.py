@@ -41,7 +41,7 @@ def write_config_dir(cfg_dir, data_root, image_size, *, epochs, batch_size,
                      ckpt_dir, log_dir, use_dense=False, ablation=None,
                      losses=None, patch_size=None, lr=1e-3, lr_step,
                      lr_gamma=0.3, scan_window=8, annotations=True, seed=0,
-                     instancing="fast"):
+                     instancing="fast", graph_warmup_epochs=0):
     """Write a 4-file config dir for one training run. ``losses`` overrides
     L_total weight fields (λ sweeps, seg-only warmup phases — VERDICT r3 #2);
     ``patch_size`` overrides the graph node granularity (at 64² the default
@@ -80,7 +80,7 @@ def write_config_dir(cfg_dir, data_root, image_size, *, epochs, batch_size,
         lr_step_size=lr_step, lr_gamma=lr_gamma, bf16=True,
         scan_window=scan_window, checkpoint_dir=ckpt_dir, log_dir=log_dir,
         save_epoch_interval=5, num_workers=4, seed=seed,
-        instancing=instancing,
+        instancing=instancing, graph_warmup_epochs=graph_warmup_epochs,
     )
     os.makedirs(cfg_dir, exist_ok=True)
     for name, section in (
@@ -225,6 +225,19 @@ def main():
     print("\n[results] === training full MinGraph-UNet ===")
     train_end_to_end(cfg_full)
 
+    # Two-phase full method (r4): same budget, but the first third of the
+    # epochs train seg+detection only before the graph losses engage — the
+    # value study's measured rescue for multi-loss interference
+    # (outputs/VALUE_STUDY.md; TrainingConfig.graph_warmup_epochs).
+    cfg_twophase = write_config_dir(
+        os.path.join(out_root, "full_twophase", "configs"), epochs=args.epochs,
+        ckpt_dir=os.path.join(out_root, "full_twophase", "checkpoints"),
+        log_dir=os.path.join(out_root, "full_twophase", "logs"),
+        use_dense=True, graph_warmup_epochs=max(1, args.epochs // 3), **common,
+    )
+    print("\n[results] === training full MinGraph-UNet (two-phase) ===")
+    train_end_to_end(cfg_twophase)
+
     # --- 3. train ablation variants (full method reuses step 2) ---
     variant_dirs = {"combined": (cfg_full, os.path.join(out_root, "full", "checkpoints"))}
     for name, slug in ABLATION_VARIANTS.items():
@@ -265,6 +278,10 @@ def main():
         cfg_full, os.path.join(out_root, "full", "checkpoints"),
         "mingraph-unet-refined",
     )
+    table1["mingraph-unet (two-phase)"] = evaluate_segmentation_model(
+        cfg_twophase, os.path.join(out_root, "full_twophase", "checkpoints"),
+        "mingraph-unet",
+    )
     results["table1_segmentation"] = table1
 
     print("\n[results] === Table 2: yield estimation (test split) ===")
@@ -283,6 +300,16 @@ def main():
     )
     table2["mingraph_unet_dense_head"] = evaluate_yield_model(
         cfg_full, os.path.join(out_root, "full", "checkpoints"),
+        model_type="mingraph-unet-dense", num_images=args.eval_images,
+        image_dir=test_img_dir, ann_file=test_ann,
+    )
+    table2["mingraph_unet_twophase_cc_counting"] = evaluate_yield_model(
+        cfg_twophase, os.path.join(out_root, "full_twophase", "checkpoints"),
+        model_type="mingraph-unet", num_images=args.eval_images,
+        image_dir=test_img_dir, ann_file=test_ann,
+    )
+    table2["mingraph_unet_twophase_dense_head"] = evaluate_yield_model(
+        cfg_twophase, os.path.join(out_root, "full_twophase", "checkpoints"),
         model_type="mingraph-unet-dense", num_images=args.eval_images,
         image_dir=test_img_dir, ann_file=test_ann,
     )
