@@ -457,10 +457,14 @@ def render_markdown(results):
                 iou = (seg.get("iou_per_class") or [float("nan")] * 2)[1]
                 cr = (cnt or {}).get("count_accuracy_perc", float("nan"))
                 d_iou, d_cnt = iou - b_iou, cr - b_cnt
-                mark = " **" if (d_iou > 0 or d_cnt > 0) else " "
+                # Bold each delta cell independently, only when THAT delta
+                # is positive (a shared mark previously bolded negative IoU
+                # deltas whenever the count delta happened to be positive).
+                iou_cell = f"**{d_iou:+.4f}**" if d_iou > 0 else f"{d_iou:+.4f}"
+                cnt_cell = f"**{d_cnt:+.2f}**" if d_cnt > 0 else f"{d_cnt:+.2f}"
                 lines.append(
-                    f"| {LABELS.get(slug, slug)}{label_suffix} |{mark}"
-                    f"{d_iou:+.4f}{mark.strip()} | {d_cnt:+.2f} |"
+                    f"| {LABELS.get(slug, slug)}{label_suffix} | "
+                    f"{iou_cell} | {cnt_cell} |"
                 )
     if "cc_counting" in base:
         # The SYSTEM comparison on the reference's end task (yield
@@ -470,6 +474,9 @@ def render_markdown(results):
         # quality — matching, occlusion robustness and AP@0.5 are where
         # per-fruit detection (vs blob counting) shows up.
         bc = base["cc_counting"]
+        nan = float("nan")
+        sys_keys = ("count_accuracy_perc", "object_matching_rate_perc",
+                    "occlusion_robustness_perc", "ap50_perc")
         lines += [
             "",
             "## System verdict on the end task (yield estimation)",
@@ -477,20 +484,15 @@ def render_markdown(results):
             "| System | Detector | Count acc. (%) | Matching (%) | "
             "Occlusion robustness (%) | AP@0.5 (%) |",
             "|---|---|---|---|---|---|",
-            f"| U-Net baseline | CC over segmentation | "
-            f"{bc['count_accuracy_perc']:.2f} | "
-            f"{bc['object_matching_rate_perc']:.2f} | "
-            f"{bc['occlusion_robustness_perc']:.2f} | "
-            f"{bc.get('ap50_perc', float('nan')):.2f} |",
+            "| U-Net baseline | CC over segmentation | "
+            + " | ".join(f"{bc.get(k, nan):.2f}" for k in sys_keys) + " |",
         ]
         for slug, row in results["rows"].items():
             dh = row.get("dense_head")
             if not dh:
                 continue
-            cells = [dh["count_accuracy_perc"], dh["object_matching_rate_perc"],
-                     dh["occlusion_robustness_perc"], dh.get("ap50_perc", float("nan"))]
-            bases = [bc["count_accuracy_perc"], bc["object_matching_rate_perc"],
-                     bc["occlusion_robustness_perc"], bc.get("ap50_perc", float("nan"))]
+            cells = [dh.get(k, nan) for k in sys_keys]
+            bases = [bc.get(k, nan) for k in sys_keys]
             body = " | ".join(
                 (f"**{c:.2f}**" if c > b else f"{c:.2f}")
                 for c, b in zip(cells, bases)
@@ -498,43 +500,76 @@ def render_markdown(results):
             det = ("dense head (fusion OFF)" if "nofusion" in slug
                    else "graph-fused dense head")
             lines.append(f"| {LABELS.get(slug, slug)} | {det} | {body} |")
+    # Diagnosis numbers are interpolated from the results dict (not
+    # hardcoded) so a re-run with a different seed/config regenerates a
+    # self-consistent document. The NARRATIVE was written against the
+    # 2026-08 runs; the numbers always match the tables above.
+    nan = float("nan")
+
+    def mango(slug, key="segmentation"):
+        seg = results["rows"].get(slug, {}).get(key) or {}
+        iou = seg.get("iou_per_class") or [nan, nan]
+        return iou[1] if len(iou) > 1 else nan
+
+    def sysm(slug, metric, key="dense_head"):
+        return (results["rows"].get(slug, {}).get(key) or {}).get(metric, nan)
+
+    tp, nf = "full_twophase", "nofusion_twophase"
+    b_match = sysm("unet", "object_matching_rate_perc", "cc_counting")
+    b_occl = sysm("unet", "occlusion_robustness_perc", "cc_counting")
+    b_ap = sysm("unet", "ap50_perc", "cc_counting")
+    b_cntacc = sysm("unet", "count_accuracy_perc", "cc_counting")
+    refined_best = max(
+        (mango(s, "segmentation_refined") for s in results["rows"]
+         if "segmentation_refined" in results["rows"][s]),
+        default=nan,
+    )
     lines += [
         "",
-        "## Diagnosis (r4 run, 2026-08-18 — written against the tables above)",
+        "## Diagnosis (numbers interpolated from this run's tables)",
         "",
         "1. **Segmentation: the graph losses subtract, and scheduling — not "
-        "λ — is the rescue.** Joint training from cold collapses to "
-        "all-background (mango IoU 0.0000 at default λ) while the CE+dice "
-        "U-Net reaches 0.8716 on the same regime; removing L_feature "
-        "entirely (λ_feature=0) still loses (0.6924), and the no-graph-"
-        "stages control with the same L_total also degrades (0.2170) — so "
-        "the interference is the multi-loss cold-start itself (H3), not "
-        "any single λ (H2). The two-phase schedule (seg-only warmup → "
-        "joint) recovers most of it (0.7481/0.7877) but never beats the "
-        "plain U-Net on mask IoU.",
+        "λ — is the rescue.** Joint training from cold collapses "
+        f"(mango IoU {mango('full_default'):.4f} at default λ) while the "
+        f"CE+dice U-Net reaches {mango('unet'):.4f} on the same regime; "
+        "removing L_feature entirely (λ_feature=0) still loses "
+        f"({mango('full_lfeat_0'):.4f}), and the no-graph-stages control "
+        f"with the same L_total also degrades "
+        f"({mango('control_nographstages'):.4f}) — so the interference is "
+        "the multi-loss cold-start itself (H3), not any single λ (H2). The "
+        "two-phase schedule (seg-only warmup → joint) recovers most of it "
+        f"({mango(tp):.4f}/{mango(nf):.4f}).",
         "2. **The end task is where the architecture pays: detection "
         "quality, not mask quality.** As a yield SYSTEM, the two-phase "
-        "full method beats the U-Net baseline decisively on matching "
-        "(73.49 vs 63.86 %), occlusion robustness (69.03 vs 47.74 %) and "
-        "AP@0.5 (71.31 vs 56.89 %): per-fruit detection separates touching "
-        "fruit that CC blob-counting merges. Count accuracy alone hides "
-        "this (81.38 vs 77.88 % — blob counts are right for the wrong "
-        "instances).",
+        "full method vs the U-Net baseline: matching "
+        f"{sysm(tp, 'object_matching_rate_perc'):.2f} vs {b_match:.2f} %, "
+        "occlusion robustness "
+        f"{sysm(tp, 'occlusion_robustness_perc'):.2f} vs {b_occl:.2f} %, "
+        f"AP@0.5 {sysm(tp, 'ap50_perc'):.2f} vs {b_ap:.2f} %: per-fruit "
+        "detection separates touching fruit that CC blob-counting merges. "
+        "Count accuracy alone hides this "
+        f"({sysm(tp, 'count_accuracy_perc'):.2f} vs {b_cntacc:.2f} % — "
+        "blob counts are right for the wrong instances).",
         "3. **Fusion attribution: the graph features are NOT the "
         "ingredient.** The clean pair (two-phase, fusion ON vs OFF) ties "
-        "within noise — AP@0.5 71.31 vs 69.73, occlusion 69.03 vs 69.68 — "
-        "so the detection win comes from the dense head trained under the "
-        "multi-task losses, not from the GAT/partition features it fuses. "
-        "The graph branch's mechanisms that DO act on outputs (region-mean "
-        "logit blending over the trained partition) actively destroy "
-        "segmentation here (refined rows ≈ 0): at 64²/8-px patches the "
-        "learned partition does not align with fruit boundaries.",
+        f"within noise — AP@0.5 {sysm(tp, 'ap50_perc'):.2f} vs "
+        f"{sysm(nf, 'ap50_perc'):.2f}, occlusion "
+        f"{sysm(tp, 'occlusion_robustness_perc'):.2f} vs "
+        f"{sysm(nf, 'occlusion_robustness_perc'):.2f} — so the detection "
+        "win comes from the dense head trained under the multi-task "
+        "losses, not from the GAT/partition features it fuses. The graph "
+        "branch's mechanisms that DO act on outputs (region-mean logit "
+        "blending over the trained partition) destroy segmentation at the "
+        f"r4 operating point (best refined mango IoU {refined_best:.4f} "
+        "across arms): at 64²/8-px patches the learned partition does not "
+        "align with fruit boundaries.",
         "4. **Net: on this regime the reference architecture's premise — "
         "graph refinement improving segmentation/counting — does not hold "
         "for its graph components; the measurable value lives in dense "
         "per-fruit detection plus a two-phase schedule.** Both are "
         "framework additions the reference lacks. The paper-quoted targets "
-        "(experiments/metrics.py:188-192) remain unreproduced in either "
+        "(reference:experiments/metrics.py:188-192 — 95.3 % count "
+        "accuracy, 5.9 % yield error) remain unreproduced in either "
         "framework's favor on mask IoU.",
         "",
         "## Regime calibration (reported for honesty)",
