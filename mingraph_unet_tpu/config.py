@@ -289,6 +289,14 @@ class LossWeightsConfig:
     l_partition_weight: float = 0.5
     l_smooth_weight: float = 0.2
     feature_loss_margin: float = 1.0
+    # Partition supervision (framework addition, default OFF): patch-level
+    # cross-entropy between the MinCut soft assignments and the GT patch
+    # labels y_p already computed for L_feature. The reference's stated
+    # intent is partitions that respect object boundaries
+    # (mincut_refinement.py:9-10, graph_refinement.py:89-103); the
+    # unsupervised Ncut alone was measured NOT to align with fruit (r4
+    # value study) — this is the supervised escape hatch.
+    l_partition_sup_weight: float = 0.0
     # Soft-Dice weight used by the U-Net-only trainer (CE + dice at
     # ``scripts/train_segmentation.py:127-131``).
     dice_weight: float = 1.0
@@ -441,6 +449,13 @@ class TrainingConfig:
     # 16×128² / 1102 ms at 8×512² on v5e, r4 probe — noisy-label studies
     # opt in, production training keeps "fast").
     instancing: str = "fast"
+    # Multi-task loss balancing over the graph-loss terms: "none" = fixed λ
+    # (the reference's scheme, train_end_to_end.py:472-476); "uncertainty" =
+    # Kendall-style learned log-variance weights s_i per ACTIVE graph loss
+    # (term = exp(-s_i)·λ_i·L_i + s_i/2), trained jointly — a principled
+    # balancer for the measured multi-loss cold-start interference
+    # (outputs/VALUE_STUDY.md). L_seg and detection stay at fixed weight 1.
+    loss_balance: str = "none"
 
     @classmethod
     def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":
@@ -461,6 +476,8 @@ class TrainingConfig:
             raise ValueError("instancing must be 'fast' or 'exact'")
         if self.graph_warmup_epochs < 0:
             raise ValueError("graph_warmup_epochs must be >= 0")
+        if self.loss_balance not in ("none", "uncertainty"):
+            raise ValueError("loss_balance must be 'none' or 'uncertainty'")
 
 
 # ---------------------------------------------------------------------------

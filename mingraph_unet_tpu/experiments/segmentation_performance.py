@@ -27,7 +27,7 @@ __all__ = ["evaluate_segmentation_model", "print_table1", "region_blend_logits"]
 
 
 def region_blend_logits(logits, patch_labels, patch: int, num_regions: int,
-                        gamma: float = 0.5):
+                        gamma: float = 0.5, purity_tau: Optional[float] = None):
     """Graph-refined segmentation logits: blend each pixel's logits with the
     mean logits of its (trained) MinCut region.
 
@@ -36,6 +36,13 @@ def region_blend_logits(logits, patch_labels, patch: int, num_regions: int,
     ``graph_refinement.py:76-111``) applied to segmentation directly at
     eval time. ``logits`` (B, H, W, C) float; ``patch_labels`` (B, nph,
     npw) int region ids; ``patch`` the pixel pitch of one patch.
+
+    ``purity_tau`` (r5 sweep): when set, blending is gated per region on the
+    variance of its foreground probability — only regions with
+    ``Var[p_fg] < purity_tau`` blend (pure regions, where the region mean is
+    evidence rather than class-mixing). Impure regions keep their original
+    logits. The r4 study shipped only the untuned (γ=0.5, ungated) point,
+    which zeroed mango IoU; this is the mechanism's envelope knob.
     """
     import jax
     import jax.numpy as jnp
@@ -47,9 +54,22 @@ def region_blend_logits(logits, patch_labels, patch: int, num_regions: int,
     sums = jnp.einsum("bhws,bhwc->bsc", onehot, logits)
     counts = onehot.sum(axis=(1, 2))[..., None]  # (B, S, 1)
     region_mean = sums / jnp.maximum(counts, 1.0)
-    return (1.0 - gamma) * logits + gamma * jnp.einsum(
+    blended = (1.0 - gamma) * logits + gamma * jnp.einsum(
         "bhws,bsc->bhwc", onehot, region_mean
     )
+    if purity_tau is None:
+        return blended
+    p_fg = jax.nn.softmax(logits, axis=-1)[..., 1]  # (B, H, W)
+    mean_p = jnp.einsum("bhws,bhw->bs", onehot, p_fg) / jnp.maximum(
+        counts[..., 0], 1.0
+    )
+    mean_p2 = jnp.einsum("bhws,bhw->bs", onehot, p_fg**2) / jnp.maximum(
+        counts[..., 0], 1.0
+    )
+    var = jnp.maximum(mean_p2 - mean_p**2, 0.0)  # (B, S)
+    gate = (var < purity_tau).astype(jnp.float32)  # (B, S)
+    gate_pix = jnp.einsum("bhws,bs->bhw", onehot, gate)[..., None]
+    return gate_pix * blended + (1.0 - gate_pix) * logits
 
 
 def _find_split_dir(cfg: PipelineConfig, data_root: str) -> str:
@@ -71,6 +91,8 @@ def evaluate_segmentation_model(
     model_type: str = "unet",
     batch_size: int = 8,
     data_root_override: Optional[str] = None,
+    blend_gamma: float = 0.5,
+    blend_purity_tau: Optional[float] = None,
 ) -> Dict[str, Any]:
     import jax
     import jax.numpy as jnp
@@ -115,6 +137,8 @@ def evaluate_segmentation_model(
                 out["hard_patch_labels"],
                 patch,
                 num_regions,
+                gamma=blend_gamma,
+                purity_tau=blend_purity_tau,
             )
 
     else:

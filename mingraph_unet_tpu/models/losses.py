@@ -28,6 +28,7 @@ __all__ = [
     "cross_entropy_loss",
     "dice_loss",
     "feature_consistency_loss",
+    "partition_supervision_loss",
     "total_variation_loss",
     "elliptical_shape_loss",
     "elliptical_shape_loss_from_probs",
@@ -87,6 +88,27 @@ def feature_consistency_loss(
     hinge = jax.nn.relu(margin - dist)
     negative = (1.0 - y) * hinge**2
     return (positive + negative).sum(axis=-1).mean()
+
+
+def partition_supervision_loss(
+    soft_assignments: jnp.ndarray, y_p: jnp.ndarray, eps: float = 1e-8
+) -> jnp.ndarray:
+    """Patch-level CE supervising the MinCut partition with GT patch labels.
+
+    ``soft_assignments`` (B, nph, npw, K) are the partition's softmax
+    probabilities; ``y_p`` (B, nph, npw) ∈ {0, 1} is the foreground-fraction
+    patch label already computed for L_feature. Region index 1 is pinned to
+    "fruit" and index 0 to "background" (breaking the Ncut's label symmetry
+    is the point: the reference's stated intent is partitions that respect
+    object boundaries, ``mincut_refinement.py:9-10``, and the r4 value study
+    measured the unsupervised partition NOT aligning with fruit). K > 2
+    leaves the remaining regions free. Mean over patches and batch.
+    """
+    target = y_p.astype(jnp.int32)
+    p_target = jnp.take_along_axis(
+        soft_assignments, target[..., None], axis=-1
+    )[..., 0]
+    return -jnp.log(p_target + eps).mean()
 
 
 def total_variation_loss(x: jnp.ndarray, weight: float = 1.0) -> jnp.ndarray:

@@ -107,6 +107,25 @@ def gt_union_box(masks: jnp.ndarray, foreground_class: int = 1) -> Tuple[jnp.nda
     return jnp.where(has[:, None], box, 0.0), has
 
 
+# Fixed slot order for the uncertainty balancer's log-variance vector
+# (params["loss_balance"]["log_vars"], shape (len(BALANCED_LOSSES),)).
+BALANCED_LOSSES = ("l_shape", "l_feature", "l_partition", "l_smooth",
+                   "l_partition_sup")
+
+
+def _augment_variables(variables: Dict[str, Any], train_cfg) -> Dict[str, Any]:
+    """Append the uncertainty balancer's learnable log-variances to the
+    param tree (trained by the same optimizer, checkpointed with the rest).
+    The model never sees this subtree — the train step strips it."""
+    if train_cfg.loss_balance == "uncertainty":
+        params = dict(variables["params"])
+        params["loss_balance"] = {
+            "log_vars": jnp.zeros((len(BALANCED_LOSSES),), jnp.float32)
+        }
+        variables = {**variables, "params": params}
+    return variables
+
+
 def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: bool = True,
                         train_detection: bool = True):
     pre = cfg.preprocessing
@@ -114,6 +133,7 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
     patch = cfg.model.graph_construction.patch_size
     max_instances = cfg.model.fusion_detection.max_instances
     exact_instancing = cfg.training.instancing == "exact"
+    balance = cfg.training.loss_balance == "uncertainty"
 
     def train_step(state: TrainState, images_u8, masks, key):
         # ``masks`` is either the semantic mask batch or a (masks, instances)
@@ -129,6 +149,9 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
         aug_key, drop_key = jax.random.split(jax.random.fold_in(key, state.step))
 
         def loss_fn(params):
+            bal = params.get("loss_balance") if balance else None
+            if balance:
+                params = {k: v for k, v in params.items() if k != "loss_balance"}
             pre_out = device_preprocess_batch(
                 aug_key, images_u8, masks,
                 pre.normalization_mean, pre.normalization_std,
@@ -184,14 +207,6 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
                 )
             l_smooth = losses.total_variation_loss(probs[..., 1:2])
 
-            total = (
-                l_seg
-                + lw.l_shape_weight * l_shape
-                + lw.l_feature_weight * l_feature
-                + lw.l_partition_weight * l_partition
-                + lw.l_smooth_weight * l_smooth
-            )
-
             aux = {
                 "l_unet_seg": l_seg,
                 "l_shape": l_shape,
@@ -199,6 +214,37 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
                 "l_partition": l_partition,
                 "l_smooth": l_smooth,
             }
+            graph_terms = [
+                ("l_shape", l_shape, lw.l_shape_weight),
+                ("l_feature", l_feature, lw.l_feature_weight),
+                ("l_partition", l_partition, lw.l_partition_weight),
+                ("l_smooth", l_smooth, lw.l_smooth_weight),
+            ]
+            if lw.l_partition_sup_weight > 0.0:
+                # Supervised partition: patch-CE against the y_p labels
+                # already derived for L_feature (framework addition; the
+                # reference's unsupervised Ncut was measured not to align
+                # with fruit — VALUE_STUDY.md).
+                l_psup = losses.partition_supervision_loss(
+                    out["soft_assignments"].astype(jnp.float32), y_p
+                )
+                aux["l_partition_sup"] = l_psup
+                graph_terms.append(
+                    ("l_partition_sup", l_psup, lw.l_partition_sup_weight)
+                )
+
+            total = l_seg
+            for name, val, wt in graph_terms:
+                if wt == 0.0:  # static: compiled out entirely
+                    continue
+                if bal is not None:
+                    # Kendall-style homoscedastic-uncertainty weighting:
+                    # exp(-s)·λ·L + s/2 with learnable s per active term.
+                    s = bal["log_vars"][BALANCED_LOSSES.index(name)]
+                    total = total + jnp.exp(-s) * wt * val + 0.5 * s
+                    aux[f"bal_s_{name}"] = s
+                else:
+                    total = total + wt * val
             if train_detection:
                 gt_box, has_obj = gt_union_box(aug_masks)
                 l_bbox, l_conf = losses.detection_losses(
@@ -300,7 +346,9 @@ def train_end_to_end(
     start_epoch = 0
     if train_cfg.resume and ckpt.latest_step is not None:
         abstract = jax.eval_shape(
-            lambda: TrainState.create(model.init(init_key, sample), tx)
+            lambda: TrainState.create(
+                _augment_variables(model.init(init_key, sample), train_cfg), tx
+            )
         )
         restored = ckpt.restore_latest({"state": abstract, "epoch": 0})
         if restored is not None:
@@ -308,7 +356,7 @@ def train_end_to_end(
             start_epoch = int(restored["epoch"]) + 1
             print(f"[e2e] resumed from step {int(state.step)} (epoch {start_epoch})")
     if state is None:
-        variables = jax.jit(model.init)(init_key, sample)
+        variables = _augment_variables(jax.jit(model.init)(init_key, sample), train_cfg)
         state = TrainState.create(variables, tx)
 
     donate = (0,) if train_cfg.donate_buffers else ()
@@ -347,6 +395,7 @@ def train_end_to_end(
                             cfg.model.losses,
                             l_shape_weight=0.0, l_feature_weight=0.0,
                             l_partition_weight=0.0, l_smooth_weight=0.0,
+                            l_partition_sup_weight=0.0,
                         ),
                     ),
                 )

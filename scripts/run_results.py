@@ -41,7 +41,8 @@ def write_config_dir(cfg_dir, data_root, image_size, *, epochs, batch_size,
                      ckpt_dir, log_dir, use_dense=False, ablation=None,
                      losses=None, patch_size=None, lr=1e-3, lr_step,
                      lr_gamma=0.3, scan_window=8, annotations=True, seed=0,
-                     instancing="fast", graph_warmup_epochs=0):
+                     instancing="fast", graph_warmup_epochs=0,
+                     loss_balance="none"):
     """Write a 4-file config dir for one training run. ``losses`` overrides
     L_total weight fields (λ sweeps, seg-only warmup phases — VERDICT r3 #2);
     ``patch_size`` overrides the graph node granularity (at 64² the default
@@ -81,6 +82,7 @@ def write_config_dir(cfg_dir, data_root, image_size, *, epochs, batch_size,
         scan_window=scan_window, checkpoint_dir=ckpt_dir, log_dir=log_dir,
         save_epoch_interval=5, num_workers=4, seed=seed,
         instancing=instancing, graph_warmup_epochs=graph_warmup_epochs,
+        loss_balance=loss_balance,
     )
     os.makedirs(cfg_dir, exist_ok=True)
     for name, section in (

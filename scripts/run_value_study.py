@@ -195,7 +195,10 @@ def main():
         prev_path = os.path.join(args.results_dir, "value_study.json")
         if os.path.exists(prev_path):
             with open(prev_path) as f:
-                results["rows"] = json.load(f).get("rows", {})
+                prev = json.load(f)
+            results["rows"] = prev.get("rows", {})
+            if prev.get("blend_sweep"):
+                results["blend_sweep"] = prev["blend_sweep"]
 
     def flush():
         results["wall_clock_sec"] = round(time.time() - t0, 1)
@@ -236,10 +239,11 @@ def main():
         results["rows"][slug] = row
         flush()
 
-    def make_twophase_arm(slug, ablation=None):
+    def make_twophase_arm(slug, ablation=None, losses=None):
         # Two-phase: seg(+detection)-only warmup, then joint at default λ.
         # Phase A writes λ=0 configs into the SAME checkpoint dir; phase B
         # resumes from A's last epoch with the real λ (resume=True default).
+        # ``losses`` overrides phase B's weights only (warmup is all-zero).
         def run():
             root = os.path.join(out_root, slug)
             ckpt_dir = os.path.join(root, "checkpoints")
@@ -254,7 +258,7 @@ def main():
             cfg_b = write_config_dir(
                 os.path.join(root, "configs"), epochs=args.epochs,
                 ckpt_dir=ckpt_dir, log_dir=os.path.join(root, "logs"),
-                use_dense=True, ablation=ablation, **common,
+                use_dense=True, ablation=ablation, losses=losses, **common,
             )
             print(f"[study] === {slug}: joint (resumes warmup checkpoint) ===")
             train_end_to_end(cfg_b)
@@ -319,7 +323,66 @@ def main():
          make_e2e_arm("full_lfeat_0", "full method, λ_feature=0",
                       losses=dict(l_feature_weight=0.0)),
          "mingraph-unet", None),
+        # --- r5 arms (VERDICT r4 #2/#3) ---
+        # Supervised partition: patch-CE on the y_p labels — the lever that
+        # could make the partition (and hence the blend mechanism and the
+        # fused features) align with fruit.
+        ("twophase_psup",
+         make_twophase_arm("twophase_psup",
+                           losses=dict(l_partition_sup_weight=0.5)),
+         "mingraph-unet", None),
+        # Principled balancer instead of the schedule: joint-from-cold with
+        # Kendall uncertainty weighting over the graph losses. Tests whether
+        # learned balancing alone fixes the measured cold-start collapse.
+        ("full_uncertainty",
+         make_e2e_arm("full_uncertainty",
+                      "full method, uncertainty-weighted graph losses",
+                      loss_balance="uncertainty"),
+         "mingraph-unet", None),
+        # λ_partition/λ_smooth grid under the trainable (two-phase) regime.
+        ("twophase_lgrid_low",
+         make_twophase_arm("twophase_lgrid_low",
+                           losses=dict(l_partition_weight=0.1,
+                                       l_smooth_weight=0.05)),
+         "mingraph-unet", None),
+        ("twophase_lgrid_hi",
+         make_twophase_arm("twophase_lgrid_hi",
+                           losses=dict(l_partition_weight=1.0)),
+         "mingraph-unet", None),
     ]
+    def blend_sweep():
+        # γ/purity envelope of the region-blend mechanism (VERDICT r4 #2:
+        # the r4 study shipped one untuned operating point, γ=0.5 ungated,
+        # which zeroed mango IoU). Eval-only — reuses trained checkpoints.
+        points = [
+            ("γ=0.05", 0.05, None), ("γ=0.1", 0.1, None),
+            ("γ=0.2", 0.2, None), ("γ=0.5", 0.5, None),
+            ("γ=0.2, τ=0.01", 0.2, 0.01), ("γ=0.2, τ=0.03", 0.2, 0.03),
+            ("γ=0.5, τ=0.01", 0.5, 0.01), ("γ=0.5, τ=0.03", 0.5, 0.03),
+        ]
+        sweep = results.setdefault("blend_sweep", {})
+        for slug in ("full_twophase", "twophase_psup"):
+            cfg = os.path.join(out_root, slug, "configs")
+            ck = os.path.join(out_root, slug, "checkpoints")
+            if not (os.path.isdir(cfg) and os.path.isdir(ck) and os.listdir(ck)):
+                print(f"[study] blend sweep: no checkpoint for {slug}, skipping")
+                continue
+            arm_sweep = sweep.setdefault(slug, {})
+            for label, g, tau in points:
+                if label in arm_sweep and "error" not in arm_sweep[label]:
+                    continue
+                print(f"\n[study] === blend sweep {slug} @ {label} ===")
+                try:
+                    arm_sweep[label] = evaluate_segmentation_model(
+                        cfg, ck, "mingraph-unet-refined",
+                        blend_gamma=g, blend_purity_tau=tau,
+                    )
+                except Exception as e:  # pragma: no cover - hardware-path guard
+                    import traceback
+                    traceback.print_exc()
+                    arm_sweep[label] = {"error": f"{type(e).__name__}: {e}"}
+                flush()
+
     only = set(args.only.split(",")) if args.only else None
     for slug, train_fn, mtype, ablation in arms:
         if only is not None and slug not in only:
@@ -351,6 +414,7 @@ def main():
                 results["aborted"] = msg
                 flush()
                 return results
+    blend_sweep()
     return results
 
 
@@ -378,6 +442,10 @@ LABELS = {
     "control_nographstages": "Control: graph stages OFF, same L_total",
     "dense_nofusion": "Full method, fusion OFF (dense head sees F_u only)",
     "nofusion_twophase": "Two-phase, fusion OFF (the clean fusion attribution)",
+    "twophase_psup": "Two-phase + supervised partition (patch-CE on y_p)",
+    "full_uncertainty": "Full method, uncertainty-weighted graph losses (joint from cold)",
+    "twophase_lgrid_low": "Two-phase, λ_partition=0.1 λ_smooth=0.05",
+    "twophase_lgrid_hi": "Two-phase, λ_partition=1.0",
 }
 
 
@@ -500,6 +568,32 @@ def render_markdown(results):
             det = ("dense head (fusion OFF)" if "nofusion" in slug
                    else "graph-fused dense head")
             lines.append(f"| {LABELS.get(slug, slug)} | {det} | {body} |")
+    if results.get("blend_sweep"):
+        lines += [
+            "",
+            "## Blend-mechanism envelope (γ × purity gate, eval-time)",
+            "",
+            "The r4 study evaluated the region-blend mechanism at ONE "
+            "untuned operating point (γ=0.5, ungated). This sweep maps its "
+            "envelope on the trained checkpoints: γ scales the region-mean "
+            "contribution; τ gates blending to regions whose foreground-"
+            "probability variance is below τ (pure regions only).",
+        ]
+        for slug, arm_sweep in results["blend_sweep"].items():
+            base_seg = results["rows"].get(slug, {}).get("segmentation")
+            lines += [
+                "", f"### {LABELS.get(slug, slug)}", "",
+                "| Operating point | mIoU | Mango IoU |", "|---|---|---|",
+            ]
+            if base_seg:
+                lines.append(
+                    f"| unrefined (γ=0) | {seg_cells({'segmentation': base_seg})} |"
+                )
+            for label, m in arm_sweep.items():
+                if "error" in m:
+                    lines.append(f"| {label} | failed: {m['error']} ||")
+                else:
+                    lines.append(f"| {label} | {seg_cells({'segmentation': m})} |")
     # Diagnosis numbers are interpolated from the results dict (not
     # hardcoded) so a re-run with a different seed/config regenerates a
     # self-consistent document. The NARRATIVE was written against the

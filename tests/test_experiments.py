@@ -143,3 +143,53 @@ class TestRegionBlendLogits:
         out = region_blend_logits(logits, labels, patch=4, num_regions=2, gamma=0.7)
         np.testing.assert_allclose(np.asarray(out[:, :, :4]), 0.0, atol=1e-6)
         np.testing.assert_allclose(np.asarray(out[:, :, 4:]), 1.0, atol=1e-6)
+
+    def test_purity_gate_blends_pure_region_only(self):
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.experiments.segmentation_performance import (
+            region_blend_logits,
+        )
+
+        # Region 0 (left): constant logits → p_fg variance 0 → blends.
+        # Region 1 (right): half strongly fg, half strongly bg → high
+        # variance → must keep its original logits untouched.
+        pure = jnp.full((1, 4, 4, 2), 0.3)
+        mixed = jnp.concatenate(
+            [jnp.tile(jnp.asarray([[5.0, -5.0]]), (2, 1)).reshape(1, 2, 1, 2).repeat(4, 2),
+             jnp.tile(jnp.asarray([[-5.0, 5.0]]), (2, 1)).reshape(1, 2, 1, 2).repeat(4, 2)],
+            axis=1,
+        )  # (1, 4, 4, 2): top half bg-ish, bottom half fg-ish
+        logits = jnp.concatenate([pure, mixed], axis=2)  # (1, 4, 8, 2)
+        labels = jnp.asarray([[[0, 1]]], jnp.int32)
+        gated = region_blend_logits(
+            logits, labels, patch=4, num_regions=2, gamma=0.5, purity_tau=0.05
+        )
+        ungated = region_blend_logits(
+            logits, labels, patch=4, num_regions=2, gamma=0.5
+        )
+        # Pure region: gated == ungated blend; both == original (constant).
+        np.testing.assert_allclose(
+            np.asarray(gated[:, :, :4]), np.asarray(ungated[:, :, :4]), atol=1e-6
+        )
+        # Impure region: gated keeps the original logits; the ungated blend
+        # must differ from them (region-mean mixing).
+        np.testing.assert_allclose(
+            np.asarray(gated[:, :, 4:]), np.asarray(logits[:, :, 4:]), atol=1e-6
+        )
+        assert np.abs(np.asarray(ungated[:, :, 4:] - logits[:, :, 4:])).max() > 1.0
+
+    def test_purity_tau_huge_equals_ungated(self):
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.experiments.segmentation_performance import (
+            region_blend_logits,
+        )
+
+        rng = np.random.default_rng(2)
+        logits = jnp.asarray(rng.normal(size=(2, 8, 8, 2)).astype(np.float32))
+        labels = jnp.asarray(rng.integers(0, 3, (2, 2, 2)), dtype=jnp.int32)
+        a = region_blend_logits(logits, labels, patch=4, num_regions=3,
+                                gamma=0.3, purity_tau=1e9)
+        b = region_blend_logits(logits, labels, patch=4, num_regions=3, gamma=0.3)
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)

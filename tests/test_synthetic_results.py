@@ -170,6 +170,12 @@ class TestValueStudyMachinery:
             },
             "wall_clock_sec": 1.0,
         }
+        results["blend_sweep"] = {
+            "full_default": {
+                "γ=0.1": {"mean_iou": 0.6, "iou_per_class": [0.9, 0.3]},
+                "γ=0.5, τ=0.01": {"error": "ValueError: x"},
+            }
+        }
         md = vs.render_markdown(results)
         assert "label noise 0.25" in md
         assert "patch size 8" in md
@@ -178,3 +184,6 @@ class TestValueStudyMachinery:
         assert "Regime calibration" in md
         assert "Verdict vs the U-Net baseline" in md
         assert "+0.00" in md or "-0.00" in md or "0.0000" in md  # delta rows render
+        assert "Blend-mechanism envelope" in md
+        assert "γ=0.1 | 0.6000 | 0.3000" in md
+        assert "failed: ValueError: x" in md

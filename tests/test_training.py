@@ -232,6 +232,118 @@ class TestTwoPhaseSchedule:
                 assert abs(row["total"] - expect_base - graph_part) < 1e-4, row
 
 
+class TestPartitionSupervision:
+    def test_loss_values(self):
+        from mingraph_unet_tpu.models.losses import partition_supervision_loss
+
+        y_p = jnp.asarray([[[0.0, 1.0], [1.0, 0.0]]])  # (1, 2, 2)
+        perfect = jnp.stack(
+            [1.0 - y_p, y_p], axis=-1
+        )  # prob 1 on the target region
+        wrong = jnp.stack([y_p, 1.0 - y_p], axis=-1)
+        assert float(partition_supervision_loss(perfect, y_p)) < 1e-6
+        assert float(partition_supervision_loss(wrong, y_p)) > 10.0
+        # Uniform assignment: exactly -log(1/2).
+        uniform = jnp.full((1, 2, 2, 2), 0.5)
+        np.testing.assert_allclose(
+            float(partition_supervision_loss(uniform, y_p)), np.log(2.0), rtol=1e-5
+        )
+
+    def test_e2e_engages_and_logs(self, tmp_path):
+        import json
+
+        import yaml
+
+        from mingraph_unet_tpu.train.end_to_end import train_end_to_end
+
+        cfg_dir = make_dummy_run(
+            str(tmp_path), num_images=4, image_size=(32, 32), batch_size=2,
+            num_epochs=1, patch_size=8, init_features=4, depth=2,
+        )
+        mc = yaml.safe_load(open(os.path.join(cfg_dir, "model.yaml")))
+        mc["losses"]["l_partition_sup_weight"] = 0.5
+        yaml.safe_dump(mc, open(os.path.join(cfg_dir, "model.yaml"), "w"))
+        tc = yaml.safe_load(open(os.path.join(cfg_dir, "training.yaml")))
+        tc["log_interval"] = 1
+        yaml.safe_dump(tc, open(os.path.join(cfg_dir, "training.yaml"), "w"))
+        state, history = train_end_to_end(cfg_dir, max_epochs=1)
+        log_dir = tc["log_dir"]
+        (log_file,) = [f for f in os.listdir(log_dir) if f.endswith(".jsonl")]
+        rows = [json.loads(l) for l in open(os.path.join(log_dir, log_file))]
+        from mingraph_unet_tpu.config import PipelineConfig
+
+        lw = PipelineConfig.from_config_dir(cfg_dir).model.losses
+        for row in rows:
+            assert "l_partition_sup" in row and np.isfinite(row["l_partition_sup"])
+            expect = (
+                row["l_unet_seg"] + row["l_bbox"] + row["l_conf"]
+                + lw.l_shape_weight * row["l_shape"]
+                + lw.l_feature_weight * row["l_feature"]
+                + lw.l_partition_weight * row["l_partition"]
+                + lw.l_smooth_weight * row["l_smooth"]
+                + 0.5 * row["l_partition_sup"]
+            )
+            assert abs(row["total"] - expect) < 1e-4, row
+
+
+class TestUncertaintyBalance:
+    def test_e2e_balanced_total_and_learnable_log_vars(self, tmp_path):
+        import json
+
+        import yaml
+
+        from mingraph_unet_tpu.train.end_to_end import train_end_to_end
+
+        cfg_dir = make_dummy_run(
+            str(tmp_path), num_images=4, image_size=(32, 32), batch_size=2,
+            num_epochs=1, patch_size=8, init_features=4, depth=2,
+        )
+        tc = yaml.safe_load(open(os.path.join(cfg_dir, "training.yaml")))
+        tc["loss_balance"] = "uncertainty"
+        tc["log_interval"] = 1
+        yaml.safe_dump(tc, open(os.path.join(cfg_dir, "training.yaml"), "w"))
+        state, history = train_end_to_end(cfg_dir, max_epochs=1)
+        # The balancer's log-variances are params: present, trained.
+        lv = np.asarray(state.params["loss_balance"]["log_vars"])
+        assert lv.shape == (5,)
+        assert np.abs(lv[:4]).max() > 0.0, "active slots must receive gradients"
+        assert lv[4] == 0.0, "inactive psup slot must stay untouched"
+        # Logged total matches exp(-s)·λ·L + s/2 assembly.
+        log_dir = tc["log_dir"]
+        (log_file,) = [f for f in os.listdir(log_dir) if f.endswith(".jsonl")]
+        rows = [json.loads(l) for l in open(os.path.join(log_dir, log_file))]
+        from mingraph_unet_tpu.config import PipelineConfig
+
+        lw = PipelineConfig.from_config_dir(cfg_dir).model.losses
+        for row in rows:
+            expect = row["l_unet_seg"] + row["l_bbox"] + row["l_conf"]
+            for name, w in (("l_shape", lw.l_shape_weight),
+                            ("l_feature", lw.l_feature_weight),
+                            ("l_partition", lw.l_partition_weight),
+                            ("l_smooth", lw.l_smooth_weight)):
+                s = row[f"bal_s_{name}"]
+                expect += np.exp(-s) * w * row[name] + 0.5 * s
+            assert abs(row["total"] - expect) < 1e-3, row
+
+    def test_resume_with_balance(self, tmp_path):
+        import yaml
+
+        from mingraph_unet_tpu.train.end_to_end import train_end_to_end
+
+        cfg_dir = make_dummy_run(
+            str(tmp_path), num_images=4, image_size=(32, 32), batch_size=2,
+            num_epochs=2, patch_size=8, init_features=4, depth=2,
+        )
+        tc = yaml.safe_load(open(os.path.join(cfg_dir, "training.yaml")))
+        tc["loss_balance"] = "uncertainty"
+        tc["save_epoch_interval"] = 1
+        yaml.safe_dump(tc, open(os.path.join(cfg_dir, "training.yaml"), "w"))
+        state1, _ = train_end_to_end(cfg_dir, max_epochs=1)
+        state2, _ = train_end_to_end(cfg_dir, max_epochs=2)  # resumes
+        assert int(state2.step) == 4
+        assert "loss_balance" in state2.params
+
+
 class TestDenseDetectionTraining:
     def test_e2e_with_dense_head(self, tmp_path):
         import yaml
