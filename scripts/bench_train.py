@@ -115,6 +115,49 @@ def measure_one(size: int, batch: int, *, cpu: bool = False,
     t_short, compile_short = timed(iters)
     t_long, compile_long = timed(3 * iters)
     ms = (t_long - t_short) / (2 * iters) * 1e3
+
+    # Per-component breakdown from a device trace of the long loop
+    # (VERDICT r4 #4): components are attributed by HLO source file, so
+    # fwd+bwd conv work lands in "unet", the in-step CC instancing in
+    # "cc_instancing", loss math in "losses", optimizer update in
+    # "optimizer", augmentation in "preprocess". Sums to device_total;
+    # dispatch_gap = wall step - device busy.
+    stage_ms = None
+    try:
+        import shutil
+        import tempfile
+
+        from mingraph_unet_tpu.utils.profiling import (
+            attribute_stages,
+            parse_device_trace,
+        )
+
+        trace_dir = tempfile.mkdtemp(prefix="mgu_bench_train_trace_")
+        try:
+            with jax.profiler.trace(trace_dir):
+                s, chk = loop(state, images, masks, key, length=3 * iters)
+                int(s), float(chk)
+            rows = parse_device_trace(trace_dir, 3 * iters)
+        finally:
+            shutil.rmtree(trace_dir, ignore_errors=True)
+        if rows:
+            stage_ms = attribute_stages(rows, [
+                ("unet", ("models/unet.py", "pallas/psconv.py",
+                          "pallas/wconv.py", "ops/s2d.py")),
+                ("cc_instancing", ("ops/cc.py",)),
+                ("losses", ("models/losses.py", "models/detection.py")),
+                ("graph_fusion", ("models/gat.py", "models/mincut.py",
+                                  "models/fusion.py", "ops/segment.py",
+                                  "ops/patches.py", "models/pipeline.py")),
+                ("preprocess", ("data/dataset.py", "ops/image.py",
+                                "ops/filters.py")),
+                ("optimizer", ("optax", "train/common.py")),
+            ])
+            stage_ms["device_total"] = round(sum(stage_ms.values()), 3)
+            stage_ms["dispatch_gap"] = round(ms - stage_ms["device_total"], 3)
+    except Exception as e:  # pragma: no cover - trace capture is best-effort
+        print(f"[bench_train] trace breakdown failed: {e}", file=sys.stderr)
+
     return {
         "size": size,
         "batch": batch,
@@ -123,6 +166,7 @@ def measure_one(size: int, batch: int, *, cpu: bool = False,
         "images_per_s": batch / (ms / 1e3),
         "compile_s": compile_short + compile_long,
         "platform": jax.devices()[0].platform,
+        "stage_ms": stage_ms,
     }
 
 

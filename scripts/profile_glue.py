@@ -68,70 +68,41 @@ def capture(what: str, steps: int, trace_dir: str):
 
 
 def summarize(trace_dir: str, steps: int, top: int = 30):
-    """Parse the Chrome-trace export directly (no tensorboard_plugin_profile
-    dependency — absent in this environment): aggregate device-side XLA-op
-    self time by op name / HLO category / source line and print the top
-    entries per step."""
+    """Aggregate device-side XLA-op self time by op name / HLO category /
+    source line and print the top entries per step (shared parser:
+    ``utils/profiling.py::parse_device_trace``)."""
     import collections
-    import gzip
 
-    paths = glob.glob(
-        os.path.join(trace_dir, "**", "*.trace.json.gz"), recursive=True
-    )
-    if not paths:
+    from mingraph_unet_tpu.utils.profiling import parse_device_trace
+
+    all_rows = parse_device_trace(trace_dir, steps)
+    if not all_rows:
         print("[profile] no trace.json.gz found", file=sys.stderr)
         return None
-    path = max(paths, key=os.path.getmtime)
-    with gzip.open(path) as f:
-        tr = json.load(f)
-    ev = tr["traceEvents"]
-    dev_pids = {
-        e["pid"]
-        for e in ev
-        if e.get("ph") == "M"
-        and e.get("name") == "process_name"
-        and "TPU" in e["args"].get("name", "")
-    }
-    op_tids = {
-        (e["pid"], e["tid"])
-        for e in ev
-        if e.get("ph") == "M"
-        and e.get("name") == "thread_name"
-        and e["pid"] in dev_pids
-        and e["args"].get("name") == "XLA Ops"
-    }
-    agg = collections.Counter()
-    meta = {}
     cat = collections.Counter()
-    for e in ev:
-        if e.get("ph") != "X" or (e.get("pid"), e.get("tid")) not in op_tids:
-            continue
-        if e["name"].startswith("while"):
-            continue  # the whole-step wrapper double-counts its body
-        agg[e["name"]] += e.get("dur", 0)
-        meta.setdefault(e["name"], e.get("args", {}))
-        cat[e.get("args", {}).get("hlo_category", "?")] += e.get("dur", 0)
+    for r in all_rows:
+        cat[r["category"] or "?"] += r["us_per_step"]
     print("== time by HLO category (ms/step) ==")
     for c, d in cat.most_common(10):
-        print(f"{d / steps / 1e3:8.3f}  {c}")
+        print(f"{d / 1e3:8.3f}  {c}")
     print("== top ops (us/step) ==")
     rows = []
-    for n, d in agg.most_common(top):
-        a = meta[n]
-        src = str(a.get("source", "")).split("/")[-1]
+    for r in all_rows[:top]:
+        src = r["source"].split("/")[-1]
         row = {
-            "us_per_step": round(d / steps, 1),
-            "op": n,
-            "category": a.get("hlo_category", ""),
+            "us_per_step": round(r["us_per_step"], 1),
+            "op": r["op"],
+            "category": r["category"],
             "source": src,
-            "long_name": a.get("long_name", "")[:160],
+            "long_name": r["long_name"][:160],
         }
         rows.append(row)
         print(
-            f"{row['us_per_step']:8.1f}  {n:30s} {row['category'][:18]:18s} "
+            f"{row['us_per_step']:8.1f}  {r['op']:30s} {row['category'][:18]:18s} "
             f"{src[:24]:24s} {row['long_name'][:48]}"
         )
-    print(f"TOTAL accounted: {sum(agg.values()) / steps / 1e3:.2f} ms/step")
+    total = sum(r["us_per_step"] for r in all_rows)
+    print(f"TOTAL accounted: {total / 1e3:.2f} ms/step")
     return rows
 
 

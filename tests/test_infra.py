@@ -83,3 +83,71 @@ class TestLoggingProfiling:
         x = jnp.ones((64, 64)) @ jnp.ones((64, 64))
         ms = t.stop(x)
         assert ms >= 0
+
+
+class TestTraceAttribution:
+    """bench.py's stage attribution: parse a synthetic Chrome trace and fold
+    ops into stages by source file (utils/profiling.py, VERDICT r4 weak #5)."""
+
+    def _write_trace(self, tmp_path, events):
+        import gzip
+        import json
+
+        p = tmp_path / "plugins" / "profile" / "run"
+        p.mkdir(parents=True)
+        with gzip.open(p / "host.trace.json.gz", "wt") as f:
+            json.dump({"traceEvents": events}, f)
+
+    def test_parse_and_attribute(self, tmp_path):
+        from mingraph_unet_tpu.utils.profiling import (
+            attribute_stages,
+            parse_device_trace,
+        )
+
+        events = [
+            {"ph": "M", "pid": 1, "name": "process_name",
+             "args": {"name": "/device:TPU:0"}},
+            {"ph": "M", "pid": 1, "tid": 7, "name": "thread_name",
+             "args": {"name": "XLA Ops"}},
+            {"ph": "M", "pid": 9, "name": "process_name",
+             "args": {"name": "python host"}},
+            {"ph": "M", "pid": 9, "tid": 1, "name": "thread_name",
+             "args": {"name": "XLA Ops"}},
+            # 2 steps worth of device ops (durations in us).
+            {"ph": "X", "pid": 1, "tid": 7, "name": "fusion.1", "dur": 2000,
+             "args": {"hlo_category": "convolution",
+                      "source": "mingraph_unet_tpu/models/unet.py:42"}},
+            {"ph": "X", "pid": 1, "tid": 7, "name": "fusion.1", "dur": 2000,
+             "args": {"hlo_category": "convolution",
+                      "source": "mingraph_unet_tpu/models/unet.py:42"}},
+            {"ph": "X", "pid": 1, "tid": 7, "name": "fusion.2", "dur": 500,
+             "args": {"hlo_category": "fusion",
+                      "source": "mingraph_unet_tpu/ops/filters.py:10"}},
+            {"ph": "X", "pid": 1, "tid": 7, "name": "copy.3", "dur": 100,
+             "args": {"hlo_category": "copy", "source": ""}},
+            # while-wrapper double-counts its body: must be skipped.
+            {"ph": "X", "pid": 1, "tid": 7, "name": "while.9", "dur": 99999,
+             "args": {}},
+            # host-side op: wrong pid, must be ignored.
+            {"ph": "X", "pid": 9, "tid": 1, "name": "hostop", "dur": 7777,
+             "args": {}},
+        ]
+        self._write_trace(tmp_path, events)
+        rows = parse_device_trace(str(tmp_path), steps=2)
+        by_op = {r["op"]: r for r in rows}
+        assert by_op["fusion.1"]["us_per_step"] == 2000.0
+        assert by_op["fusion.2"]["us_per_step"] == 250.0
+        assert "while.9" not in by_op and "hostop" not in by_op
+        stages = attribute_stages(rows, [
+            ("unet", ("models/unet.py",)),
+            ("aux_filters", ("ops/filters.py",)),
+        ])
+        assert stages == {"unet": 2.0, "aux_filters": 0.25, "other": 0.05}
+        # Stage sums equal the device total by construction.
+        assert abs(sum(stages.values())
+                   - sum(r["us_per_step"] for r in rows) / 1e3) < 1e-9
+
+    def test_empty_dir(self, tmp_path):
+        from mingraph_unet_tpu.utils.profiling import parse_device_trace
+
+        assert parse_device_trace(str(tmp_path), steps=1) == []
