@@ -104,6 +104,33 @@ def _psconv_auto(dtype, b: int, hh: int, ww: int, lanes: int) -> bool:
     return dtype == jnp.bfloat16 and (b * hh * ww * lanes) // shards >= (1 << 25)
 
 
+def _phase_pool(y_s2d: jnp.ndarray, train: bool) -> jnp.ndarray:
+    """Encoder inter-level MaxPool in s2d layout, kernel-dispatched.
+
+    Inference on TPU with no spatial sharding and enough work per shard
+    (the same lane-aware form as ``_psconv_auto``, at a lower threshold —
+    the pool is HBM-bound, not MXU-bound) → the relayout-free Pallas pool
+    (ops/pallas/pool.py). Everything else (training — the kernel has no
+    VJP; CPU; spatially-sharded meshes; small tensors where dispatch
+    overhead wins) → the XLA slice-max form (ops/s2d.py::phase_max_pool).
+    """
+    b, hh, ww, lanes = y_s2d.shape
+    mesh_shape = _active_mesh_shape()
+    shards = mesh_shape.get("data", 1) * mesh_shape.get("dcn", 1)
+    if (
+        not train
+        and jax.default_backend() == "tpu"
+        and mesh_shape.get("spatial", 1) == 1
+        and (b * hh * ww * lanes) // shards >= (1 << 24)
+    ):
+        from mingraph_unet_tpu.ops.pallas import pool as pool_ops
+
+        return pool_ops.phase_max_pool_pallas(
+            y_s2d, interpret=pool_ops._INTERPRET
+        )
+    return s2d_ops.phase_max_pool(y_s2d)
+
+
 # Layout rule for the s2d ConvBlock (all cutovers measured at 512² b8 on
 # v5e, perf_lab ``wconv``): XLA lowers s2d/d2s relayouts ~6× off the HBM
 # roofline (the interleaving transpose), so the conv lowering follows the
@@ -513,7 +540,7 @@ class UNetEncoder(nn.Module):
                 s2d_skips[f"skip{i}_s2d"] = skip_s2d
                 skips.append(s2d_ops.depth_to_space(skip_s2d))
                 # MaxPool(2,2) == channelwise max over the phase block.
-                x = s2d_ops.phase_max_pool(skip_s2d)
+                x = _phase_pool(skip_s2d, train)
             else:
                 x = block_cls(features, self.use_batchnorm, self.dtype, name=f"block{i}")(x, train)
                 skips.append(x)

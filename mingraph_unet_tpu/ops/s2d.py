@@ -162,10 +162,28 @@ def s2d_1x1_kernel(kernel: jnp.ndarray, r: int = _R) -> jnp.ndarray:
 def phase_max_pool(y_s2d: jnp.ndarray, r: int = _R) -> jnp.ndarray:
     """MaxPool(r, r) of the full-res tensor, computed in s2d layout: the
     pool window *is* the phase block → channelwise max over phases.
-    (B, H/r, W/r, r²·C) → (B, H/r, W/r, C)."""
+    (B, H/r, W/r, r²·C) → (B, H/r, W/r, C).
+
+    Form: channel-slice maxes on the TRANSPOSED (H, W, B, r²C) view — the
+    same boundary trick as :func:`patch_reduce_mean_s2d`: the transpose in
+    is a bitcast of the {3,0,2,1} layout the producing conv / psconv kernel
+    already carries, and the transpose out is a bitcast to the conv-native
+    layout the consuming conv wants. The previous reshape(..., r², C).max(3)
+    form forced a relayout copy on BOTH sides of the reduce (device trace
+    r5: 404+178+206 µs at the 512² b8 level-0 site, 104+26+38 µs at
+    level-1 — ~0.93 ms/step of standalone copies). This form erases all
+    those ops from the trace, but XLA fuses the slice-maxes into the
+    CONSUMING convs' input reads, which re-pays most of the cost there
+    (level-1 windowed conv 333 → 952 µs absorbing the level-0 pool):
+    measured net ~-60 µs/step full-pipeline (10.196 → 10.136 ms device
+    total) — kept as a small win, recorded honestly."""
     b, hh, ww, cc = y_s2d.shape
     c = cc // (r * r)
-    return y_s2d.reshape(b, hh, ww, r * r, c).max(axis=3)
+    xt = jnp.transpose(y_s2d, (1, 2, 0, 3))  # (hh, ww, b, r²c): layout bitcast
+    m = xt[..., :c]
+    for p in range(1, r * r):
+        m = jnp.maximum(m, xt[..., p * c : (p + 1) * c])
+    return jnp.transpose(m, (2, 0, 1, 3))  # → (b, hh, ww, c): bitcast out
 
 
 def phase_mean(y_s2d: jnp.ndarray, r: int = _R) -> jnp.ndarray:

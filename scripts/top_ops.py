@@ -1,0 +1,72 @@
+#!/usr/bin/env python
+"""Dump the top XLA ops by device time for the flagship inference loop.
+
+Perf-walk helper for ROADMAP items 6-8: traces the exact bench.py production
+loop and prints per-op rows (us/step, category, source) so remaining work is
+targeted from data, not memory. Run: ``python scripts/top_ops.py [--n 30]``.
+"""
+
+import argparse
+import os
+import shutil
+import sys
+import tempfile
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__)
+    ap.add_argument("--n", type=int, default=30)
+    ap.add_argument("--iters", type=int, default=40)
+    ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    from mingraph_unet_tpu.utils.env import setup_host
+
+    setup_host(force_cpu=args.cpu)
+
+    import jax
+    import jax.numpy as jnp
+
+    from mingraph_unet_tpu.models.pipeline import MinGraphUNet
+    from mingraph_unet_tpu.utils.profiling import parse_device_trace
+
+    if args.cpu:
+        args.size, args.iters = 64, 2
+
+    model = MinGraphUNet(dtype=jnp.bfloat16, detection_pre_pool=32)
+    x = jnp.zeros((args.batch, args.size, args.size, 3), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.key(0), x)
+
+    @jax.jit
+    def loop(v, xx):
+        def body(c, _):
+            out = model.apply(v, xx + c * 1e-12, train=False)
+            return (out["logits"].sum() + out["pred_confidence"].sum()
+                    + out["pred_bboxes"].sum()), None
+
+        c, _ = jax.lax.scan(body, jnp.float32(0), None, length=args.iters)
+        return c
+
+    float(loop(variables, x))  # compile
+    td = tempfile.mkdtemp(prefix="mgu_topops_")
+    try:
+        with jax.profiler.trace(td):
+            float(loop(variables, x))
+        rows = parse_device_trace(td, args.iters)
+    finally:
+        shutil.rmtree(td, ignore_errors=True)
+    rows.sort(key=lambda r: -r["us_per_step"])
+    total = sum(r["us_per_step"] for r in rows)
+    print(f"total device: {total / 1e3:.3f} ms/step over {len(rows)} ops")
+    for r in rows[: args.n]:
+        print(f"{r['us_per_step']:9.1f} us  {r['category']:<12.12s} "
+              f"{r['op'][:58]:<58s} {r.get('source', '')}")
+
+
+if __name__ == "__main__":
+    main()

@@ -569,3 +569,56 @@ class TestPsconvTrainVJP:
             ),
             (g1, bs1), (g0, bs0),
         )
+
+
+class TestPhaseMaxPoolKernel:
+    """ops/pallas/pool.py — the relayout-free encoder MaxPool (r5): value
+    parity vs ops/s2d.py::phase_max_pool at both production lane widths,
+    and the encoder-level dispatch gate (_phase_pool)."""
+
+    @pytest.mark.parametrize("shape,dtype", [
+        ((3, 16, 24, 128), jnp.float32),   # level-0 lanes (32ch)
+        ((2, 8, 8, 256), jnp.bfloat16),    # level-1 lanes (64ch)
+        ((1, 4, 40, 64), jnp.bfloat16),    # odd grid, 16ch
+    ])
+    def test_matches_xla_form(self, shape, dtype):
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas import pool
+
+        rng = np.random.default_rng(7)
+        x = jnp.asarray(rng.standard_normal(shape), dtype)
+        ref = s2d.phase_max_pool(x)
+        got = pool.phase_max_pool_pallas(x, interpret=True)
+        assert got.dtype == ref.dtype and got.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_encoder_dispatch_gate(self, monkeypatch):
+        """The gate engages only for inference+TPU+no-spatial+big-enough;
+        training and spatial meshes keep the XLA form (which has a VJP)."""
+        from mingraph_unet_tpu.models import unet as unet_mod
+        from mingraph_unet_tpu.ops.pallas import pool
+        from mingraph_unet_tpu.parallel.mesh import make_mesh
+
+        calls = []
+        real = pool.phase_max_pool_pallas
+        monkeypatch.setattr(pool, "_INTERPRET", True)
+        monkeypatch.setattr(
+            pool, "phase_max_pool_pallas",
+            lambda y, interpret=False: calls.append(y.shape)
+            or real(y, interpret=True),
+        )
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        rng = np.random.default_rng(8)
+        x = jnp.asarray(rng.standard_normal((8, 256, 256, 128)), jnp.bfloat16)
+        y = unet_mod._phase_pool(x, train=False)  # 2^26 >= 2^24 -> kernel
+        assert calls == [(8, 256, 256, 128)]
+        np.testing.assert_array_equal(
+            np.asarray(y), np.asarray(unet_mod._phase_pool(x, train=True))
+        )
+        calls.clear()
+        unet_mod._phase_pool(x, train=True)  # train -> XLA
+        small = jnp.asarray(rng.standard_normal((1, 8, 8, 128)), jnp.bfloat16)
+        unet_mod._phase_pool(small, train=False)  # below threshold -> XLA
+        with make_mesh(4, 2):  # spatial mesh -> XLA
+            unet_mod._phase_pool(x, train=False)
+        assert calls == []
