@@ -131,6 +131,35 @@ def _phase_pool(y_s2d: jnp.ndarray, train: bool) -> jnp.ndarray:
     return s2d_ops.phase_max_pool(y_s2d)
 
 
+def _d2s(y_s2d: jnp.ndarray, train: bool) -> jnp.ndarray:
+    """Decoder s2d → full-res handoff. A relayout-free Pallas
+    ``depth_to_space`` exists (ops/pallas/pool.py) and removes the XLA
+    lowering's two-copy chain from the trace (103 + 238 µs at the 512² b8
+    level-1 site), but the in-kernel sublane interleaves cost what the
+    copies did — full pipeline 10.516 → 10.502 ms/step, a measured NEUTRAL
+    (r5, v5e). Default stays on the XLA form (no extra compile time, native
+    VJP); ``MG_D2S_KERNEL=1`` dispatches the kernel under the same gate as
+    ``_phase_pool`` for future re-measurement at other shapes."""
+    import os
+
+    b, hh, ww, lanes = y_s2d.shape
+    mesh_shape = _active_mesh_shape()
+    shards = mesh_shape.get("data", 1) * mesh_shape.get("dcn", 1)
+    if (
+        os.environ.get("MG_D2S_KERNEL") == "1"
+        and not train
+        and jax.default_backend() == "tpu"
+        and mesh_shape.get("spatial", 1) == 1
+        and (b * hh * ww * lanes) // shards >= (1 << 24)
+    ):
+        from mingraph_unet_tpu.ops.pallas import pool as pool_ops
+
+        return pool_ops.depth_to_space_pallas(
+            y_s2d, interpret=pool_ops._INTERPRET
+        )
+    return s2d_ops.depth_to_space(y_s2d)
+
+
 # Layout rule for the s2d ConvBlock (all cutovers measured at 512² b8 on
 # v5e, perf_lab ``wconv``): XLA lowers s2d/d2s relayouts ~6× off the HBM
 # roofline (the interleaving transpose), so the conv lowering follows the
@@ -688,7 +717,7 @@ class UNetDecoder(nn.Module):
                     name=f"block{j}",
                 )(x, skip_s2d, train)
                 s2d_feats[f"f_u{i}_s2d"] = f_s2d
-                x = s2d_ops.depth_to_space(f_s2d)
+                x = _d2s(f_s2d, train)
             else:
                 x = DecoderBlock(
                     out_features=out_ch,

@@ -44,7 +44,7 @@ from jax.experimental.pallas import tpu as pltpu
 from jax.experimental.custom_partitioning import custom_partitioning
 from jax.sharding import NamedSharding, PartitionSpec as P
 
-__all__ = ["phase_max_pool_pallas"]
+__all__ = ["phase_max_pool_pallas", "depth_to_space_pallas"]
 
 # Flipped to True by CPU tests (monkeypatch), as in ops/pallas/psconv.py.
 _INTERPRET = False
@@ -129,3 +129,111 @@ def _pool_compute(y_s2d: jnp.ndarray, *, interpret: bool) -> jnp.ndarray:
         interpret=interpret,
     )(xt)
     return jnp.transpose(yt.reshape(hh, ww, b, c), (2, 0, 1, 3))
+
+
+# ---------------------------------------------------------------------------
+# depth_to_space as one relayout pass (the decoder's s2d → full-res handoff)
+# ---------------------------------------------------------------------------
+
+
+def _d2s_kernel(x_ref, o_ref, *, c: int, sb: int):
+    """(Ht, W·B, 4C) s2d band → (2·Ht, 2·W·B, C) full-res band.
+
+    out[2i+py, (2j+px)·B + b, ch] = in[i, j·B + b, (2py+px)·C + ch]:
+    per output row-phase, interleave the two column-phase lane groups at
+    B-column granularity (sublane-dim reshapes; lanes stay minor), then
+    interleave the two row-phase planes."""
+    x = x_ref[...]
+    ht, wb, _ = x.shape
+    rows = []
+    for py in (0, 1):
+        a = x[:, :, (2 * py + 0) * c : (2 * py + 1) * c]
+        b_ = x[:, :, (2 * py + 1) * c : (2 * py + 2) * c]
+        pair = jnp.concatenate(
+            [
+                a.reshape(ht, wb // sb, 1, sb, c),
+                b_.reshape(ht, wb // sb, 1, sb, c),
+            ],
+            axis=2,
+        )
+        rows.append(pair.reshape(ht, 2 * wb, c))
+    out = jnp.concatenate(
+        [rows[0].reshape(ht, 1, 2 * wb, c), rows[1].reshape(ht, 1, 2 * wb, c)],
+        axis=1,
+    )
+    o_ref[...] = out.reshape(2 * ht, 2 * wb, c)
+
+
+@partial(jax.jit, static_argnames=("interpret",))
+def depth_to_space_pallas(y_s2d: jnp.ndarray, interpret: bool = False) -> jnp.ndarray:
+    """``ops/s2d.py::depth_to_space`` as a single Pallas pass with bitcast
+    boundaries: (B, Hh, Ww, 4C) phase-major → (B, 2Hh, 2Ww, C).
+
+    Why (device trace, 512² b8 v5e, r5): the XLA lowering of the decoder's
+    level-1 s2d → full-res handoff materialized as a two-copy chain
+    (103 + 238 µs — the psel output relayout plus the 6D interleaving
+    transpose); this kernel reads the producer's layout as a bitcast and
+    writes the (2Hh, 2Ww·B, C) form whose inverse transpose is a bitcast of
+    the consumer's conv-native layout. Measured result: a NEUTRAL — the
+    copies leave the trace but the in-kernel sublane interleaves cost the
+    same (full pipeline 10.516 → 10.502 ms/step), so production keeps the
+    XLA form and this kernel is dispatch-gated behind ``MG_D2S_KERNEL=1``
+    (models/unet.py::_d2s) — the repo's standard recorded-negative
+    treatment. Bit-exact vs the XLA form (tests/test_pallas_kernels.py).
+    Inference-only dispatch (no VJP)."""
+    return _d2s_partitioned(interpret)(y_s2d)
+
+
+@lru_cache(maxsize=None)
+def _d2s_partitioned(interpret: bool):
+    def impl(y_s2d):
+        return _d2s_compute(y_s2d, interpret=interpret)
+
+    f = custom_partitioning(impl)
+
+    def partition(mesh, arg_shapes, result_shape):
+        spec = arg_shapes[0].sharding.spec
+        b = spec[0] if len(spec) else None
+        args = (NamedSharding(mesh, P(b, None, None, None)),)
+        return mesh, impl, NamedSharding(mesh, P(b, None, None, None)), args
+
+    def infer(mesh, arg_shapes, result_shape):
+        spec = arg_shapes[0].sharding.spec
+        b = spec[0] if len(spec) else None
+        return NamedSharding(mesh, P(b, None, None, None))
+
+    f.def_partition(
+        partition=partition,
+        infer_sharding_from_operands=infer,
+        sharding_rule="b h w i -> b h w j",
+    )
+    return f
+
+
+def _d2s_compute(y_s2d: jnp.ndarray, *, interpret: bool) -> jnp.ndarray:
+    b, hh, ww, cc = y_s2d.shape
+    c = cc // 4
+    xt = jnp.transpose(y_s2d, (1, 2, 0, 3)).reshape(hh, ww * b, cc)
+    wb = ww * b
+    ht = _pick_ht(hh, wb, cc, y_s2d.dtype.itemsize)
+    yt = pl.pallas_call(
+        partial(_d2s_kernel, c=c, sb=b),
+        grid=(hh // ht,),
+        in_specs=[
+            pl.BlockSpec((ht, wb, cc), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        ],
+        out_specs=pl.BlockSpec(
+            (2 * ht, 2 * wb, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((2 * hh, 2 * wb, c), y_s2d.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=2 * hh * wb * cc * y_s2d.dtype.itemsize,
+            transcendentals=0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(xt)
+    return jnp.transpose(yt.reshape(2 * hh, 2 * ww, b, c), (2, 0, 1, 3))

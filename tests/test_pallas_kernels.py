@@ -622,3 +622,52 @@ class TestPhaseMaxPoolKernel:
         with make_mesh(4, 2):  # spatial mesh -> XLA
             unet_mod._phase_pool(x, train=False)
         assert calls == []
+
+
+class TestDepthToSpaceKernel:
+    """ops/pallas/pool.py::depth_to_space_pallas — bit-exactness vs the XLA
+    form, and the default-off dispatch (a measured NEUTRAL on v5e: the
+    kernel removes the two-copy chain from the trace but pays the same in
+    in-kernel interleaves; MG_D2S_KERNEL=1 re-enables)."""
+
+    @pytest.mark.parametrize("shape,dtype", [
+        ((3, 16, 24, 128), jnp.float32),
+        ((2, 8, 8, 256), jnp.bfloat16),
+        ((1, 4, 40, 64), jnp.bfloat16),
+    ])
+    def test_matches_xla_form(self, shape, dtype):
+        from mingraph_unet_tpu.ops import s2d
+        from mingraph_unet_tpu.ops.pallas import pool
+
+        rng = np.random.default_rng(11)
+        x = jnp.asarray(rng.standard_normal(shape), dtype)
+        ref = s2d.depth_to_space(x)
+        got = pool.depth_to_space_pallas(x, interpret=True)
+        assert got.dtype == ref.dtype and got.shape == ref.shape
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+
+    def test_dispatch_default_off(self, monkeypatch):
+        from mingraph_unet_tpu.models import unet as unet_mod
+        from mingraph_unet_tpu.ops.pallas import pool
+
+        calls = []
+        real = pool.depth_to_space_pallas
+        monkeypatch.setattr(pool, "_INTERPRET", True)
+        monkeypatch.setattr(
+            pool, "depth_to_space_pallas",
+            lambda y, interpret=False: calls.append(y.shape)
+            or real(y, interpret=True),
+        )
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        rng = np.random.default_rng(12)
+        x = jnp.asarray(rng.standard_normal((8, 128, 128, 256)), jnp.bfloat16)
+        monkeypatch.delenv("MG_D2S_KERNEL", raising=False)
+        y_xla = unet_mod._d2s(x, train=False)  # default: XLA form
+        assert calls == []
+        monkeypatch.setenv("MG_D2S_KERNEL", "1")
+        y_krn = unet_mod._d2s(x, train=False)
+        assert calls == [(8, 128, 128, 256)]
+        np.testing.assert_array_equal(np.asarray(y_krn), np.asarray(y_xla))
+        calls.clear()
+        unet_mod._d2s(x, train=True)  # train -> XLA even when enabled
+        assert calls == []
