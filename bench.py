@@ -210,7 +210,7 @@ def _measure_pipeline(model, x, batch, with_stages=True, tag="production"):
         # approximate, but every op lands in exactly one bucket.
         stage_ms = attribute_stages(rows, [
             ("unet", ("models/unet.py", "pallas/psconv.py", "pallas/wconv.py",
-                      "ops/s2d.py")),
+                      "pallas/pool.py", "ops/s2d.py")),
             ("detection", ("models/detection.py",)),
             ("aux_filters", ("ops/filters.py",)),
             ("graph_fusion", ("models/gat.py", "models/mincut.py",

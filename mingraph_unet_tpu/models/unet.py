@@ -113,12 +113,17 @@ def _phase_pool(y_s2d: jnp.ndarray, train: bool) -> jnp.ndarray:
     (ops/pallas/pool.py). Everything else (training — the kernel has no
     VJP; CPU; spatially-sharded meshes; small tensors where dispatch
     overhead wins) → the XLA slice-max form (ops/s2d.py::phase_max_pool).
+    ``MG_POOL_KERNEL=0`` forces the XLA form (A/B hook for
+    scripts/bench_series.py's per-generation arms).
     """
+    import os
+
     b, hh, ww, lanes = y_s2d.shape
     mesh_shape = _active_mesh_shape()
     shards = mesh_shape.get("data", 1) * mesh_shape.get("dcn", 1)
     if (
-        not train
+        os.environ.get("MG_POOL_KERNEL", "1") != "0"
+        and not train
         and jax.default_backend() == "tpu"
         and mesh_shape.get("spatial", 1) == 1
         and (b * hh * ww * lanes) // shards >= (1 << 24)

@@ -3,12 +3,13 @@
 ROADMAP item 4).
 
 The flagship workload (512² batch 8, full MinGraph pipeline, bf16) under
-the three generations of U-Net lowering, measured back-to-back in one
+the four generations of U-Net lowering, measured back-to-back in one
 process with one timing methodology so every delta is CODE, not timer:
 
 - ``r2``: s2d level-0 with XLA dense-s2d convs (``MG_PSCONV_SITES=none``);
 - ``r3``: + the production phase-select Pallas conv kernels (``auto``);
-- ``r4``: + the level-1 s2d extension (``unet_s2d_level1=True``).
+- ``r4``: + the level-1 s2d extension (``unet_s2d_level1=True``);
+- ``r5``: + the relayout-free Pallas phase-max-pool (``MG_POOL_KERNEL``).
 
 Methodology: the same two-length jitted-scan slope as ``bench_matrix.py``
 (cancels the fixed ~25 ms relay dispatch per call); each arm gets a FRESH
@@ -56,14 +57,16 @@ def main():
     x = jnp.zeros((batch, size, size, 3), jnp.float32)
 
     ARMS = (
-        ("r2_xla_s2d", "none", False),
-        ("r3_psconv", "auto", False),
-        ("r4_level1", "auto", True),
+        ("r2_xla_s2d", "none", False, "0"),
+        ("r3_psconv", "auto", False, "0"),
+        ("r4_level1", "auto", True, "0"),
+        ("r5_pool_kernel", "auto", True, "1"),
     )
 
     rows = []
-    for name, sites, level1 in ARMS:
+    for name, sites, level1, pool in ARMS:
         os.environ["MG_PSCONV_SITES"] = sites
+        os.environ["MG_POOL_KERNEL"] = pool
         model = MinGraphUNet(dtype=jnp.bfloat16, detection_pre_pool=32,
                              unet_s2d_level1=level1)
         variables = jax.jit(model.init)(jax.random.key(0), x)

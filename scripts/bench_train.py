@@ -143,7 +143,8 @@ def measure_one(size: int, batch: int, *, cpu: bool = False,
         if rows:
             stage_ms = attribute_stages(rows, [
                 ("unet", ("models/unet.py", "pallas/psconv.py",
-                          "pallas/wconv.py", "ops/s2d.py")),
+                          "pallas/wconv.py", "pallas/pool.py",
+                          "ops/s2d.py")),
                 ("cc_instancing", ("ops/cc.py",)),
                 ("losses", ("models/losses.py", "models/detection.py")),
                 ("graph_fusion", ("models/gat.py", "models/mincut.py",

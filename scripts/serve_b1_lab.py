@@ -111,7 +111,8 @@ def main():
             if rows:
                 st = attribute_stages(rows, [
                     ("unet", ("models/unet.py", "pallas/psconv.py",
-                              "pallas/wconv.py", "ops/s2d.py")),
+                              "pallas/wconv.py", "pallas/pool.py",
+                              "ops/s2d.py")),
                     ("detection", ("models/detection.py",)),
                     ("aux_filters", ("ops/filters.py",)),
                     ("graph_fusion", ("models/gat.py", "models/mincut.py",
