@@ -303,6 +303,7 @@ def device_preprocess_batch(
     rotation_degrees: float = 15.0,
     crop_prob: float = 0.0,
     instances=None,
+    num_classes: int | None = None,
 ):
     """On-device batch preprocessing: (optional synced augment) + normalize.
 
@@ -312,14 +313,40 @@ def device_preprocess_batch(
     when given: each instance channel receives the *same* geometric
     transform as its image (same per-image PRNG key), keeping instance GT
     aligned with the pixels.
+
+    When the caller declares ``num_classes == 2`` (the production mango task),
+    the mask — and every instance channel — is packed as extra channels of the
+    image warp (:func:`~mingraph_unet_tpu.ops.image.augment_image`) and rounded
+    back to {0,1}: the banded-matrix shear contractions run at N=C of 128 MXU
+    lanes, so the extra channels ride free, replacing the per-pass
+    nearest-matrix warps that ran as VPU loop fusions (3 x 2.41 ms at
+    512-squared b8; the packed path cut the e2e train step's preprocess slice
+    from 12.0 ms). Multi-class masks (or ``num_classes=None``) keep the exact
+    per-pass nearest path.
     """
     import jax
     import jax.numpy as jnp
 
-    from mingraph_unet_tpu.ops.image import augment_pair, normalize
+    from mingraph_unet_tpu.ops.image import augment_image, augment_pair, normalize
 
     imgs = images_u8.astype(jnp.float32) / 255.0
-    if augment:
+    if augment and num_classes == 2:
+        keys = jax.random.split(key, imgs.shape[0])
+        c_img = imgs.shape[-1]
+        planes = [imgs, (masks == 1).astype(jnp.float32)[..., None]]
+        if instances is not None:  # (B, O, H, W) -> (B, H, W, O) channels
+            planes.append((instances > 0).astype(jnp.float32).transpose(0, 2, 3, 1))
+        packed = jnp.concatenate(planes, axis=-1)
+        warped = jax.vmap(
+            lambda k, p: augment_image(k, p, flip_prob, rotation_degrees, crop_prob)
+        )(keys, packed)
+        imgs = warped[..., :c_img]
+        masks = jnp.rint(warped[..., c_img]).astype(masks.dtype)
+        if instances is not None:
+            instances = jnp.rint(
+                warped[..., c_img + 1:].transpose(0, 3, 1, 2)
+            ).astype(jnp.int32)
+    elif augment:
         keys = jax.random.split(key, imgs.shape[0])
         raw_imgs = imgs
         imgs, masks = jax.vmap(

@@ -159,6 +159,7 @@ def make_e2e_train_step(model: MinGraphUNet, tx, cfg: PipelineConfig, augment: b
                 rotation_degrees=pre.rotation_degrees,
                 crop_prob=pre.random_crop_prob,
                 instances=gt_instances,
+                num_classes=cfg.dataset.num_classes,
             )
             if gt_instances is not None:
                 imgs, aug_masks, aug_inst = pre_out

@@ -68,6 +68,7 @@ def make_train_step(model: UNet, tx, cfg: PipelineConfig, augment: bool = True):
                 flip_prob=pre.horizontal_flip_prob,
                 rotation_degrees=pre.rotation_degrees,
                 crop_prob=pre.random_crop_prob,
+                num_classes=cfg.dataset.num_classes,
             )
             (logits, _, _), new_model_state = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},

@@ -202,3 +202,83 @@ class TestDataCollection:
 
         with pytest.raises(ValueError):
             FrameExtractor(image_format="bmp")
+
+
+class TestDevicePreprocessBatch:
+    """The packed binary-mask augmentation fast path (num_classes=2) vs the
+    exact per-pass nearest path (num_classes=None): same transform draws, same
+    image pixels, geometrically matching masks/instances."""
+
+    def _batch(self, b=2, h=48, w=48):
+        import jax.numpy as jnp
+
+        rng = np.random.default_rng(7)
+        imgs = jnp.asarray(rng.integers(0, 256, (b, h, w, 3), dtype=np.uint8))
+        # Smooth blob masks (a disc per image) so path divergence is boundary-only.
+        yy, xx = np.mgrid[:h, :w]
+        masks = np.stack([
+            ((yy - 20 - 3 * i) ** 2 + (xx - 24) ** 2 < 144).astype(np.int32)
+            for i in range(b)
+        ])
+        return imgs, jnp.asarray(masks)
+
+    def test_binary_fast_path_matches_nearest_geometry(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.data.dataset import device_preprocess_batch
+
+        imgs, masks = self._batch()
+        key = jax.random.key(3)
+        mean, std = (0.5, 0.5, 0.5), (0.25, 0.25, 0.25)
+        i_fast, m_fast = device_preprocess_batch(
+            key, imgs, masks, mean, std, augment=True, num_classes=2)
+        i_ref, m_ref = device_preprocess_batch(
+            key, imgs, masks, mean, std, augment=True, num_classes=None)
+        # Image pixels: identical math (the packed channels don't perturb the
+        # RGB contraction values).
+        np.testing.assert_allclose(np.asarray(i_fast), np.asarray(i_ref),
+                                   atol=1e-4)
+        # Masks: labels stay binary and the two warps agree except at the
+        # resampled boundary (IoU of the rotated discs).
+        mf, mr = np.asarray(m_fast), np.asarray(m_ref)
+        assert set(np.unique(mf)).issubset({0, 1})
+        inter = np.logical_and(mf == 1, mr == 1).sum()
+        union = np.logical_or(mf == 1, mr == 1).sum()
+        assert union > 0 and inter / union > 0.9, inter / union
+
+    def test_binary_fast_path_instances_track_mask(self):
+        import jax
+        import jax.numpy as jnp
+
+        from mingraph_unet_tpu.data.dataset import device_preprocess_batch
+
+        imgs, masks = self._batch()
+        # One instance channel per image equal to the mask itself: after the
+        # synced augment it must equal the augmented mask exactly (identical
+        # packed-channel math).
+        instances = masks[:, None, :, :]
+        key = jax.random.key(11)
+        mean, std = (0.5, 0.5, 0.5), (0.25, 0.25, 0.25)
+        _, m_fast, inst_fast = device_preprocess_batch(
+            key, imgs, masks, mean, std, augment=True, instances=instances,
+            num_classes=2)
+        np.testing.assert_array_equal(
+            np.asarray(inst_fast[:, 0]), np.asarray(m_fast))
+        assert inst_fast.dtype == jnp.int32
+
+    def test_multiclass_keeps_exact_nearest_path(self):
+        import jax
+
+        from mingraph_unet_tpu.data.dataset import device_preprocess_batch
+
+        imgs, masks = self._batch()
+        masks = masks * 2  # labels {0, 2}: 3-class label space
+        key = jax.random.key(5)
+        mean, std = (0.5, 0.5, 0.5), (0.25, 0.25, 0.25)
+        _, m3 = device_preprocess_batch(
+            key, imgs, masks, mean, std, augment=True, num_classes=3)
+        _, mn = device_preprocess_batch(
+            key, imgs, masks, mean, std, augment=True, num_classes=None)
+        np.testing.assert_array_equal(np.asarray(m3), np.asarray(mn))
+        assert set(np.unique(np.asarray(m3))).issubset({0, 2})
