@@ -196,7 +196,18 @@ def top_instances_dense(
     )
 
     score = jnp.where(roots & (mass >= min_area), n - idx, 0)
-    top_scores, _ = jax.lax.top_k(score.reshape(-1), cand)
+    # Two-stage blocked top_k: a flat top_k over H·W lowers to one full
+    # sort (traced 2.0 ms/step at 512² b8 inside the e2e train step); the
+    # global top-``cand`` elements are each top-``cand`` within their block,
+    # so per-block top_k (many short sorts) + a top_k over the survivors is
+    # exact whenever block ≥ cand.
+    flat_score = score.reshape(-1)
+    block = 2048
+    if n % block == 0 and block >= cand:
+        s1, _ = jax.lax.top_k(flat_score.reshape(n // block, block), cand)
+        top_scores, _ = jax.lax.top_k(s1.reshape(-1), cand)
+    else:
+        top_scores, _ = jax.lax.top_k(flat_score, cand)
     ids_c = jnp.where(top_scores > 0, n - top_scores, n).astype(jnp.int32)
     # Exact areas of the C candidates: dense comparison, no scatter.
     areas_c = (labels.reshape(-1)[None, :] == ids_c[:, None]).sum(-1).astype(jnp.float32)

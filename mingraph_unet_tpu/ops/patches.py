@@ -9,8 +9,10 @@ bottom/right to the next multiple of ``patch_size``).
 
 from __future__ import annotations
 
+from functools import partial
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 
 __all__ = [
@@ -83,12 +85,37 @@ def patch_reduce_mean(x: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     return (y / (patch_size * patch_size)).astype(x.dtype)
 
 
+@partial(jax.custom_vjp, nondiff_argnums=(1,))
 def broadcast_patch_to_pixels(patch_vals: jnp.ndarray, patch_size: int) -> jnp.ndarray:
     """(N, nph, npw, C) → NHWC by nearest (block) upsampling.
 
     Equivalent of the reference's `F.interpolate(..., mode='nearest')`
     broadcast of patch-level graph embeddings back to the pixel grid
     (``scripts/train_end_to_end.py:403-422``) for integer scale factors.
+
+    custom_vjp: the backward is the per-patch-block sum of the cotangent,
+    pinned here to the same two sequential middle-axis reshape-sums that
+    :func:`patch_reduce_mean` uses (its docstring carries the fwd-side A/B
+    where the alternative 6-D-transpose lowering costs 5.8×). Measured
+    NEUTRAL on the 512² b8 e2e train step (91.20 vs 91.23 ms, stage
+    breakdown identical): XLA's derived transpose-of-repeat already reaches
+    this lowering; the pin keeps it explicit and grad-parity-tested rather
+    than emergent.
     """
     x = jnp.repeat(patch_vals, patch_size, axis=1)
     return jnp.repeat(x, patch_size, axis=2)
+
+
+def _broadcast_p2p_fwd(patch_vals, patch_size):
+    return broadcast_patch_to_pixels(patch_vals, patch_size), None
+
+
+def _broadcast_p2p_bwd(patch_size, _res, g):
+    n, h, w, c = g.shape
+    p = patch_size
+    s = g.reshape(n, h, w // p, p, c).sum(3)
+    s = s.reshape(n, h // p, p, w // p, c).sum(2)
+    return (s,)
+
+
+broadcast_patch_to_pixels.defvjp(_broadcast_p2p_fwd, _broadcast_p2p_bwd)

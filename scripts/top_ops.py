@@ -103,8 +103,11 @@ def main():
         total = sum(r["us_per_step"] for r in rows)
         print(f"total device: {total / 1e3:.3f} ms/step over {len(rows)} ops")
         for r in rows[: args.n]:
+            long = r.get("long_name", "") or ""
             print(f"{r['us_per_step']:9.1f} us  {r['category']:<12.12s} "
-                  f"{r['op'][:58]:<58s} {r.get('source', '')}")
+                  f"{r['op'][:40]:<40s} {r.get('source', '')}")
+            if long:
+                print(f"{'':24s}{long[:160]}")
         return
 
     model = MinGraphUNet(dtype=jnp.bfloat16, detection_pre_pool=32)

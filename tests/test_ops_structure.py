@@ -49,6 +49,24 @@ class TestPatches:
         assert float(out[0, 0, 0, 0]) == 0.0
         assert float(out[0, 5, 5, 0]) == 3.0
 
+    def test_broadcast_patch_to_pixels_grad_parity(self):
+        """The custom_vjp backward (reshape-sum form) must equal the
+        autodiff-derived transpose of the repeats exactly."""
+        import jax
+
+        rng = np.random.default_rng(0)
+        vals = jnp.asarray(rng.normal(size=(2, 3, 5, 4)).astype(np.float32))
+        cot = jnp.asarray(rng.normal(size=(2, 12, 20, 4)).astype(np.float32))
+
+        def plain(v):  # the same math without the custom_vjp wrapper
+            return jnp.repeat(jnp.repeat(v, 4, axis=1), 4, axis=2)
+
+        g_custom = jax.vjp(
+            lambda v: patches.broadcast_patch_to_pixels(v, 4), vals)[1](cot)[0]
+        g_ref = jax.vjp(plain, vals)[1](cot)[0]
+        np.testing.assert_allclose(np.asarray(g_custom), np.asarray(g_ref),
+                                   rtol=1e-6, atol=1e-6)
+
 
 class TestLattice:
     def test_edge_count(self):
